@@ -1,0 +1,93 @@
+"""Throughput benchmark: randomized 256^3 image+label volumes per second per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference reports 0.56-0.62 s per volume on an (unspecified)
+CUDA GPU (`/root/reference/docs/datasets.md:76,131`), i.e. ~1.78 vol/s/GPU
+(BASELINE.md). vs_baseline = our vol/s/chip divided by 1.78.
+
+Timing methodology: every iteration is chained through a data dependency
+inside one jitted fori_loop and only a scalar is fetched, so the measurement
+is device-side wall time (host-side `block_until_ready` is not reliable on
+tunneled platforms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_VOLS_PER_SEC = 1.78
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    from fetalsyngen_tpu.generator.config import GeneratorCfg, IntensityCfg
+    from fetalsyngen_tpu.generator.pipeline import _synth_core
+    from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+    shape = (args.shape,) * 3
+    labels = tuple([0] + list(range(10, 50)))
+    gen_classes = tuple([0] + [10] * 10 + [20] * 10 + [30] * 10 + list(range(40, 50)))
+    cfg = GeneratorCfg(
+        shape=shape,
+        resolution=(0.5, 0.5, 0.5),
+        intensity=IntensityCfg(1, 6, labels, gen_classes),
+    )
+
+    seeds_np, seg_np = phantom_seeds_and_seg(shape)
+    B = args.batch
+    seeds = jnp.broadcast_to(jnp.asarray(seeds_np, jnp.int32), (B, *shape))
+    segs = jnp.broadcast_to(jnp.asarray(seg_np, jnp.int32), (B, *shape))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(key, seeds, segs, iters):
+        def body(i, carry):
+            key, acc = carry
+            keys = jax.random.split(key, B + 1)
+            out, seg = jax.vmap(
+                lambda k, sd, sg: _synth_core(
+                    k, sd, sg, jnp.zeros((), jnp.float32), (), cfg, (), False
+                )[:2]
+            )(keys[1:], seeds, segs)
+            probe = jnp.mean(out) + jnp.float32(jnp.sum(seg[0, ::64, ::64, ::64])) * 0.0
+            return keys[0], acc + probe
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (key, jnp.float32(0)))
+        return acc
+
+    # warmup / compile
+    float(chain(jax.random.PRNGKey(0), seeds, segs, 1))
+
+    t0 = time.perf_counter()
+    float(chain(jax.random.PRNGKey(1), seeds, segs, args.iters))
+    dt = time.perf_counter() - t0
+
+    vols_per_sec = B * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"randomized {args.shape}^3 volumes/sec/chip",
+                "value": round(vols_per_sec, 4),
+                "unit": "vol/s/chip",
+                "vs_baseline": round(vols_per_sec / REFERENCE_VOLS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

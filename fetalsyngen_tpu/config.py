@@ -61,8 +61,15 @@ def load_yaml(path: str | Path, _root_dir: Path | None = None) -> dict:
                     keyed = {part: keyed}
                 merged = _deep_merge(merged, keyed)
             else:
+                # "group/name" nests under the group path (Hydra package
+                # semantics); a bare name merges at the root.
                 sub_path = root / f"{entry}.yaml"
-                merged = _deep_merge(merged, load_yaml(sub_path))
+                sub = load_yaml(sub_path)
+                parts = str(entry).split("/")[:-1]
+                keyed = sub
+                for part in reversed(parts):
+                    keyed = {part: keyed}
+                merged = _deep_merge(merged, keyed)
         cfg = _deep_merge(merged, cfg)
     return cfg
 
@@ -71,11 +78,13 @@ def _resolve_path(cfg: Any, parts: list[str], stack: list[Any]) -> Any:
     """Resolve an interpolation path like ``..device`` against the node stack."""
     # Count leading empty parts from '..'-style paths: "${..device}" splits to
     # ['', '', 'device'] — each leading '' walks one level up.
+    # Leading dots are OmegaConf-relative: one dot = the containing node,
+    # each further dot walks one parent up. stack[-1] is the containing node.
     ups = 0
     while ups < len(parts) and parts[ups] == "":
         ups += 1
     if ups:
-        node = stack[-(ups + 1)] if ups + 1 <= len(stack) else stack[0]
+        node = stack[-ups] if ups <= len(stack) else stack[0]
         keys = parts[ups:]
     else:
         node = stack[0]  # absolute path from root

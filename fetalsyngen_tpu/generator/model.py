@@ -1,0 +1,281 @@
+"""Public generator API: reference-parity classes over the jitted pipeline.
+
+``FetalSynthGen`` mirrors the reference orchestrator
+(``fetalsyngen/generator/model.py:27-276``): same constructor shape (driven by
+the same Hydra YAML schema), same ``generate``/``augment``/``sample`` methods,
+same nested genparams dicts for replay. The component classes
+(``ImageFromSeeds``, ``SpatialDeformation``, ``RandResample``, ``RandBiasField``,
+``RandNoise``, ``RandGamma``) keep the reference's constructor signatures but
+act as config carriers: all voxel math happens in the single jitted pipeline
+(:mod:`fetalsyngen_tpu.generator.pipeline`), not in per-class ``__call__``s —
+that is the TPU-first redesign.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import nifti
+from .config import (
+    BiasFieldCfg,
+    DeformCfg,
+    GammaCfg,
+    GeneratorCfg,
+    IntensityCfg,
+    NoiseCfg,
+    ResampleCfg,
+)
+from .params import genparams_to_dict, overrides_from_genparams
+from .pipeline import synth_sample
+
+
+def _key_data(key: jax.Array) -> np.ndarray:
+    """Raw uint32 words of a PRNG key (handles typed and legacy keys)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(key))
+    return np.asarray(key)
+
+
+@functools.lru_cache(maxsize=256)
+def _load_seed_cached(path: str) -> np.ndarray:
+    """Host-side seed volume load (RAS-oriented), cached across samples.
+
+    The reference re-reads 4 seed NIfTIs from disk per sample
+    (``rand_gmm.py:90-97``) — the hot IO path flagged in SURVEY §7. Caching
+    the decoded int8 arrays keeps repeated samples of the same subject from
+    touching disk.
+    """
+    return np.ascontiguousarray(nifti.load_ras(path).data.astype(np.int16))
+
+
+class ImageFromSeeds:
+    """Seed loading + GMM intensity config (reference ``rand_gmm.py:9-99``)."""
+
+    def __init__(
+        self,
+        min_subclusters: int,
+        max_subclusters: int,
+        seed_labels: Iterable[int],
+        generation_classes: Iterable[int],
+        meta_labels: int = 4,
+    ):
+        self.cfg = IntensityCfg(
+            min_subclusters=min_subclusters,
+            max_subclusters=max_subclusters,
+            seed_labels=tuple(int(x) for x in seed_labels),
+            generation_classes=tuple(int(x) for x in generation_classes),
+            meta_labels=meta_labels,
+        )
+
+    def load_seeds(
+        self,
+        seeds: dict[int, dict[int, Path]],
+        genparams: dict | None = None,
+        rng: np.random.Generator | None = None,
+    ) -> tuple[np.ndarray, dict]:
+        """Select subcluster counts per meta-label and sum the seed volumes.
+
+        Mirrors ``ImageFromSeeds.load_seeds`` (``rand_gmm.py:51-99``): per
+        meta-label draw ``n ~ U{min..max}``, load ``seeds[n][mlabel]``,
+        orient RAS, and sum.
+        """
+        genparams = genparams or {}
+        rng = rng or np.random.default_rng()
+        if "mlabel2subclusters" in genparams:
+            m2s = {int(k): int(v) for k, v in genparams["mlabel2subclusters"].items()}
+        else:
+            m2s = {
+                ml: int(rng.integers(self.cfg.min_subclusters, self.cfg.max_subclusters + 1))
+                for ml in range(1, self.cfg.meta_labels + 1)
+            }
+        total: np.ndarray | None = None
+        for ml in range(1, self.cfg.meta_labels + 1):
+            vol = _load_seed_cached(str(seeds[m2s[ml]][ml]))
+            total = vol.copy() if total is None else total + vol
+        return total, {"mlabel2subclusters": m2s}
+
+
+class SpatialDeformation:
+    """Config carrier (reference ``affine_nonrigid.py:12-62``)."""
+
+    def __init__(
+        self,
+        max_rotation: float,
+        max_shear: float,
+        max_scaling: float,
+        size: Iterable[int],
+        prob: float,
+        nonlinear_transform: bool,
+        nonlin_scale_min: float,
+        nonlin_scale_max: float,
+        nonlin_std_max: float,
+        flip_prb: float,
+        device: str | None = None,
+    ):
+        del device  # JAX manages placement
+        self.cfg = DeformCfg(
+            max_rotation=max_rotation,
+            max_shear=max_shear,
+            max_scaling=max_scaling,
+            size=tuple(int(s) for s in size),
+            prob=prob,
+            nonlinear_transform=nonlinear_transform,
+            nonlin_scale_min=nonlin_scale_min,
+            nonlin_scale_max=nonlin_scale_max,
+            nonlin_std_max=nonlin_std_max,
+            flip_prb=flip_prb,
+        )
+
+
+class RandResample:
+    def __init__(self, prob: float, min_resolution: float, max_resolution: float):
+        self.cfg = ResampleCfg(prob=prob, min_resolution=min_resolution, max_resolution=max_resolution)
+
+
+class RandBiasField:
+    def __init__(self, prob: float, scale_min: float, scale_max: float, std_min: float, std_max: float):
+        self.cfg = BiasFieldCfg(
+            prob=prob, scale_min=scale_min, scale_max=scale_max, std_min=std_min, std_max=std_max
+        )
+
+
+class RandNoise:
+    def __init__(self, prob: float, std_min: float, std_max: float):
+        self.cfg = NoiseCfg(prob=prob, std_min=std_min, std_max=std_max)
+
+
+class RandGamma:
+    def __init__(self, prob: float, gamma_std: float):
+        self.cfg = GammaCfg(prob=prob, gamma_std=gamma_std)
+
+
+class FetalSynthGen:
+    """Reference-parity synthetic generator (``model.py:27-276``)."""
+
+    def __init__(
+        self,
+        shape: Iterable[int],
+        resolution: Iterable[float],
+        intensity_generator: ImageFromSeeds,
+        spatial_deform: SpatialDeformation,
+        resampler: RandResample,
+        bias_field: RandBiasField,
+        noise: RandNoise,
+        gamma: RandGamma,
+        device: str | None = None,
+        blur_cortex: Any | None = None,
+        struct_noise: Any | None = None,
+        simulate_motion: Any | None = None,
+        boundaries: Any | None = None,
+        seed: int | None = None,
+    ):
+        del device
+        self.intensity_generator = intensity_generator
+        self.cfg = GeneratorCfg(
+            shape=tuple(int(s) for s in shape),
+            resolution=tuple(float(r) for r in resolution),
+            intensity=intensity_generator.cfg,
+            deform=spatial_deform.cfg,
+            resample=resampler.cfg,
+            bias_field=bias_field.cfg,
+            noise=noise.cfg,
+            gamma=gamma.cfg,
+        )
+        self.artifacts = {
+            "blur_cortex": blur_cortex,
+            "struct_noise": struct_noise,
+            "simulate_motion": simulate_motion,
+            "boundaries": boundaries,
+        }
+        self._rng = np.random.default_rng(seed)
+
+    def _next_key(self) -> jax.Array:
+        return jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+
+    def sample(
+        self,
+        image: np.ndarray | None,
+        segmentation: np.ndarray,
+        seeds: dict[int, dict[int, Path]] | None,
+        genparams: dict | None = None,
+        key: jax.Array | None = None,
+    ):
+        """Generate one synthetic sample (reference ``model.py:231-276``).
+
+        Args:
+            image: optional intensity prior / co-deformed volume (D,H,W).
+            segmentation: (D,H,W) int label volume (RAS).
+            seeds: ``{n_subclusters: {meta_label: path}}`` dict, or None to
+                use ``image`` as the intensity prior.
+            genparams: reference-style nested genparams dict for replay.
+                A ``"key"`` entry (uint32 pair) replays voxel noise too.
+            key: explicit PRNG key (overrides the internal stream).
+
+        Returns:
+            (output, segmentation, image, genparams_out) — arrays are jnp,
+            genparams_out is a host dict that fully replays this sample when
+            passed back (same voxel noise via the stored key).
+        """
+        genparams = dict(genparams or {})
+        if key is None:
+            if "key" in genparams:
+                key = jnp.asarray(np.asarray(genparams["key"], dtype=np.uint32))
+            else:
+                key = self._next_key()
+
+        selected_seeds: dict = {}
+        if seeds is not None:
+            seed_rng = np.random.default_rng(_key_data(key).tolist())
+            seed_vol, selected_seeds = self.intensity_generator.load_seeds(
+                seeds, genparams.get("selected_seeds", {}), rng=seed_rng
+            )
+            seed_arr = jnp.asarray(seed_vol, jnp.int32)
+            image_as_intensity = False
+        else:
+            if image is None:
+                raise ValueError(
+                    "If no seeds are passed, an image must be loaded to be used as intensity prior!"
+                )
+            seed_arr = None
+            image_as_intensity = True
+
+        overrides = overrides_from_genparams(genparams)
+        seg_arr = jnp.asarray(np.asarray(segmentation), jnp.int32)
+        img_arr = jnp.asarray(np.asarray(image), jnp.float32) if image is not None else None
+
+        if image_as_intensity:
+            # reference model.py:131-139: rescale image to [0, 255] as output
+            lo, hi = jnp.min(img_arr), jnp.max(img_arr)
+            base = (img_arr - lo) / jnp.where(hi > lo, hi - lo, 1.0) * 255.0
+            out, seg, img, p = synth_sample(
+                key, None, seg_arr, image=img_arr, cfg=self.cfg,
+                overrides=overrides, intensity_prior=base,
+            )
+        else:
+            out, seg, img, p = synth_sample(
+                key, seed_arr, seg_arr, image=img_arr, cfg=self.cfg, overrides=overrides
+            )
+
+        # SR artifacts (optional; applied post-augmentation like model.py:210-220)
+        artifact_meta = {}
+        for name, artifact in self.artifacts.items():
+            if artifact is not None:
+                out, meta = artifact(
+                    out, seg, genparams=genparams.get("artifacts", {}).get(name, {}),
+                    resolution=self.cfg.resolution, key=jax.random.fold_in(key, hash(name) % (2**31)),
+                )
+                artifact_meta[name] = meta
+
+        params_out = {
+            "key": _key_data(key).tolist(),
+            "selected_seeds": selected_seeds,
+            **genparams_to_dict(p),
+            "artifacts": artifact_meta,
+        }
+        return out, seg, img, params_out

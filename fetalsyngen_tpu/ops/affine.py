@@ -10,6 +10,13 @@ provides centered meshgrids matching ``SpatialDeformation._prepare_grid``
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+
+def _mm(a, b):
+    """f32 matmul — the backend's default matmul precision is bfloat16,
+    which loses ~3 decimal digits on the composed affine chain."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 
 def make_affine_matrix(rot: jnp.ndarray, sh: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -41,7 +48,7 @@ def make_affine_matrix(rot: jnp.ndarray, sh: jnp.ndarray, s: jnp.ndarray) -> jnp
     SHy = jnp.array([[one, sh[0], zero], [zero, one, zero], [zero, sh[2], one]])
     SHz = jnp.array([[one, zero, sh[0]], [zero, one, sh[1]], [zero, zero, one]])
 
-    A = SHx @ SHy @ SHz @ Rx @ Ry @ Rz
+    A = _mm(_mm(_mm(_mm(_mm(SHx, SHy), SHz), Rx), Ry), Rz)
     return A * s[:, None]
 
 

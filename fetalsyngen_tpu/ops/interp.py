@@ -48,19 +48,28 @@ def gather_trilinear(vol: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.nd
     yf, wy = _corner_indices(y.reshape(-1), H)
     zf, wz = _corner_indices(z.reshape(-1), W)
 
-    starts = jnp.stack([xf, yf, zf], axis=-1)  # (N, 3)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2),
-    )
-    cubes = lax.gather(
-        vol, starts, dnums, slice_sizes=(2, 2, 2), mode=lax.GatherScatterMode.CLIP
-    )  # (N, 2, 2, 2)
+    # Flat 1-D gathers: TPU tiles pad small trailing dims to 128 lanes, so an
+    # (N, 2, 2, 2) slice-gather would cost 64x its logical memory. Eight flat
+    # row-major gathers keep every intermediate at (N,) and let XLA fuse the
+    # corner FMA tree.
+    flat = vol.reshape(-1)
+    base = (xf * H + yf) * W + zf
 
-    c0 = cubes[:, 0] * (1.0 - wx[:, None, None]) + cubes[:, 1] * wx[:, None, None]  # (N, 2, 2)
-    c00 = c0[:, 0] * (1.0 - wy[:, None]) + c0[:, 1] * wy[:, None]  # (N, 2)
-    out = c00[:, 0] * (1.0 - wz) + c00[:, 1] * wz  # (N,)
+    def g(off):
+        return jnp.take(flat, base + off, mode="clip")
+
+    c000, c001 = g(0), g(1)
+    c010, c011 = g(W), g(W + 1)
+    c100, c101 = g(H * W), g(H * W + 1)
+    c110, c111 = g(H * W + W), g(H * W + W + 1)
+
+    c00 = c000 * (1.0 - wz) + c001 * wz
+    c01 = c010 * (1.0 - wz) + c011 * wz
+    c10 = c100 * (1.0 - wz) + c101 * wz
+    c11 = c110 * (1.0 - wz) + c111 * wz
+    c0 = c00 * (1.0 - wy) + c01 * wy
+    c1 = c10 * (1.0 - wy) + c11 * wy
+    out = c0 * (1.0 - wx) + c1 * wx
     return out.reshape(shape)
 
 

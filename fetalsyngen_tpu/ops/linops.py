@@ -1,0 +1,136 @@
+"""Separable voxel ops as MXU matmuls — the TPU-native hot path.
+
+Every separable 1-D operation in the pipeline (Gaussian blur, zoom,
+anisotropic resample) is a banded linear operator along one axis. On TPU the
+idiomatic implementation is NOT a conv or a gather: it is a dense
+``(out_dim, in_dim)`` matrix applied with ``dot_general`` so the work lands on
+the 128x128 systolic array. For a 256^3 volume one axis pass is a
+``256x256 @ 256x65536`` matmul (~4.3 GFLOP) — microseconds on the MXU, where
+the equivalent 1-channel 3D conv measured ~870 ms.
+
+The small operator matrices are built per sample from *traced* parameters
+(sigma, zoom factors, logical sizes), so one compiled program serves every
+randomization draw.
+
+Semantics match the reference kernels exactly:
+- ``blur_matrix``      == truncated ``make_gaussian_kernel`` + 'same' conv
+                          (``generation.py:74-110``);
+- ``interp_matrix(oob_zero=True)``  == ``fast_3D_interp_torch`` linear-mode
+                          per-axis factor on a product grid (``generation.py:227-288``);
+- ``interp_matrix(oob_zero=False)`` == ``myzoom_torch`` clamped interpolation
+                          (``generation.py:310-397``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PREC = lax.Precision.HIGHEST
+
+
+def toeplitz_blur_matrix(sigma: jnp.ndarray, size: int, half_len: int) -> jnp.ndarray:
+    """(size, size) 'same'-conv Gaussian operator for a traced sigma.
+
+    Row i holds the truncated normalized kernel centered at i; zero padding at
+    the borders falls out of the band structure. ``sigma == 0`` yields the
+    identity.
+    """
+    t = jnp.arange(-half_len, half_len + 1, dtype=jnp.float32)
+    sl = jnp.ceil(3.0 * sigma)
+    safe = jnp.where(sigma > 0, sigma, 1.0)
+    g = jnp.exp(-((t / safe) ** 2) / 2.0)
+    g = jnp.where(jnp.abs(t) <= sl, g, 0.0)
+    g = g / jnp.sum(g)
+    kernel = jnp.where(sigma > 0, g, (t == 0).astype(jnp.float32))
+
+    rows = lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    idx = cols - rows + half_len
+    valid = (idx >= 0) & (idx <= 2 * half_len)
+    return jnp.where(valid, jnp.take(kernel, jnp.clip(idx, 0, 2 * half_len)), 0.0)
+
+
+def interp_matrix(
+    coords: jnp.ndarray,
+    in_size: int,
+    in_valid: jnp.ndarray | int | None = None,
+    out_valid: jnp.ndarray | int | None = None,
+    oob_zero: bool = False,
+) -> jnp.ndarray:
+    """(out, in_size) linear-interpolation operator at traced ``coords``.
+
+    Args:
+        coords: (out,) sample positions along the axis.
+        in_size: static input buffer length.
+        in_valid: traced logical input extent (<= in_size); clamping uses it.
+        out_valid: traced logical output extent; rows beyond it are zeroed.
+        oob_zero: reference linear-mode OOB semantics — rows whose coordinate
+            is not strictly inside ``(0, valid-1]`` are zeroed (default value
+            0) instead of clamped.
+    """
+    out = coords.shape[0]
+    valid_in = in_size if in_valid is None else in_valid
+    ok = (coords > 0) & (coords <= valid_in - 1)
+    c = jnp.clip(coords, 0, valid_in - 1)
+    f = jnp.clip(jnp.floor(c), 0, valid_in - 2)
+    w = (c - f).astype(jnp.float32)
+    fi = f.astype(jnp.int32)
+
+    cols = lax.broadcasted_iota(jnp.int32, (out, in_size), 1)
+    W = (
+        (cols == fi[:, None]).astype(jnp.float32) * (1.0 - w)[:, None]
+        + (cols == fi[:, None] + 1).astype(jnp.float32) * w[:, None]
+    )
+    if oob_zero:
+        W = W * ok[:, None]
+    if out_valid is not None:
+        rows = lax.broadcasted_iota(jnp.int32, (out, 1), 0)
+        W = W * (rows < out_valid)
+    return W
+
+
+def apply_axis_matrix(vol: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract ``vol``'s ``axis`` with operator ``M`` (out, in) on the MXU."""
+    return jnp.einsum(
+        {0: "oi,ijk->ojk", 1: "oi,jik->jok", 2: "oi,jki->jko"}[axis],
+        M,
+        vol,
+        precision=_PREC,
+    )
+
+
+def apply_separable(vol: jnp.ndarray, Ms: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Apply one operator per axis (order 0, 1, 2)."""
+    for axis, M in enumerate(Ms):
+        vol = apply_axis_matrix(vol, M, axis)
+    return vol
+
+
+def gaussian_blur_mm(vol: jnp.ndarray, stds: jnp.ndarray, half_len: int) -> jnp.ndarray:
+    """Separable Gaussian blur via three MXU matmuls (== ``gaussian_blur_3d``)."""
+    Ms = tuple(toeplitz_blur_matrix(stds[a], vol.shape[a], half_len) for a in range(3))
+    return apply_separable(vol, Ms)
+
+
+def zoom_mm(
+    vol: jnp.ndarray,
+    out_shape: tuple[int, int, int],
+    factor: jnp.ndarray,
+    in_shape: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """``myzoom_torch``-style zoom via matmuls (== ``ops.interp.zoom``)."""
+    Ms = []
+    for axis in range(3):
+        delta = (1.0 - factor[axis]) / (2.0 * factor[axis])
+        i = jnp.arange(out_shape[axis], dtype=jnp.float32)
+        coords = delta + i / factor[axis]
+        Ms.append(
+            interp_matrix(
+                coords,
+                vol.shape[axis],
+                in_valid=None if in_shape is None else in_shape[axis],
+            )
+        )
+    return apply_separable(vol, tuple(Ms))

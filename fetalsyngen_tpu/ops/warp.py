@@ -1,0 +1,302 @@
+"""TPU-native 3D warp: triangular axis passes + hat-accumulate Pallas kernel.
+
+The reference warps volumes with one trilinear gather at arbitrary coordinates
+(``fast_3D_interp_torch``, ``generation.py:204-288``). Arbitrary per-element
+gathers are the slowest op on TPU (measured ~150 ms per 16.7M elements on v5e,
+~70x below memory bandwidth; Mosaic's ``dynamic_gather`` is no faster). This
+module reaches memory-bandwidth-class speed with a design that needs NO
+gathers at all:
+
+1. **UL factorization.** The affine map ``o -> A o + t`` factors as
+   ``A = U L`` (upper x unit-lower). A triangular map warps EXACTLY as a
+   sequence of single-axis resampling passes (each pass's sample position
+   depends only on axes not yet resampled), so the full affine warp is five
+   axis passes with closed-form positions: U's z/y/x passes then L's y/z
+   passes. Sampling positions compose exactly; interpolation is one linear
+   kernel per pass (a "sheared trilinear" kernel overall — equivalence vs.
+   exact trilinear is bounded in tests/test_warp.py).
+2. **Nonrigid stage.** ``out(o) = W(o + F(o))`` for the smooth bounded
+   low-frequency field: three more axis passes using the displacement volumes
+   at grid points (first-order triangular inverse; error O(|F|^2/L) voxels).
+3. **Hat-accumulate kernel.** Each axis pass computes, per output element,
+   ``sum_m hat(pos - (k + n0 + m)) * row[k + n0 + m]`` where ``n0`` is a
+   per-block base offset (positions within a block vary by only a few voxels
+   because the maps are smooth). Every term is a UNIFORM dynamic lane-slice
+   of an edge-padded row plus vectorized FMAs — the VPU's fast path.
+
+Boundary semantics: positions are edge-clamped (reference ``myzoom``-style);
+the reference's linear-mode OOB zeroing is applied by the pipeline via a
+closed-form composite mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Static pad (lanes) on each side of the resampled axis. Covers the largest
+# affine excursion |pos - lane| the deformation config can produce.
+PAD = 192
+_BIG = 1e9
+
+# FSG_PALLAS_INTERPRET=1 runs the Pallas kernels in interpreter mode on any
+# backend — used by tests to exercise the kernel logic without a TPU.
+_INTERPRET = os.environ.get("FSG_PALLAS_INTERPRET") == "1"
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu" or _INTERPRET
+
+
+# ---------------------------------------------------------------------------
+# Hat-accumulate pass kernels
+# ---------------------------------------------------------------------------
+
+BLOCK_ROWS = 32
+
+
+def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, nearest, with_disp):
+    """One axis pass over a (BLOCK_ROWS, 128) output block.
+
+    coef_ref: (1, 4) SMEM  — (ci, cj, ck, bias) of the affine position map
+        pos = ci * row_i + cj * row_j + ck * lane + bias,
+        with rows enumerated as row = row_i * H_rows + row_j.
+    xpad_ref: (8, S + 2*PAD) VMEM — edge-padded source rows.
+    disp_ref: (8, 128) VMEM — optional extra per-element displacement.
+    """
+    r_blk = pl.program_id(0)
+    h_blk = pl.program_id(1)
+
+    ci = coef_ref[0, 0]
+    cj = coef_ref[0, 1]
+    ck = coef_ref[0, 2]
+    bias = coef_ref[0, 3]
+
+    B = BLOCK_ROWS
+    rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+    row_i = (rows // H_rows).astype(jnp.float32)
+    row_j = (rows % H_rows).astype(jnp.float32)
+    lanes = h_blk * 128 + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    lanes_f = lanes.astype(jnp.float32)
+
+    pos = ci * row_i + cj * row_j + ck * lanes_f + bias
+    if with_disp:
+        pos = pos + disp_ref[:]
+
+    sat_lo = pos <= 0.0
+    sat_hi = pos >= S - 1.0
+    valid = jnp.logical_not(jnp.logical_or(sat_lo, sat_hi))
+
+    rel = pos - lanes_f
+    rel_v = jnp.where(valid, rel, _BIG)
+    n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
+    width = S + 2 * PAD + 128
+    lo_bound = -(PAD + h_blk * 128)
+    hi_bound = width - 384 - PAD - h_blk * 128
+    n0 = jnp.clip(n0, lo_bound, hi_bound)
+
+    # Mosaic supports only 128-aligned dynamic lane slices and single-vreg
+    # dynamic rolls, so the block's source window is staged in three steps:
+    # (1) a 128-aligned dynamic slice of 3 vregs, (2) a log2 ladder of
+    # conditional STATIC rolls for the sub-128 remainder, (3) a fori_loop that
+    # rolls by one lane per hat tap.
+    base = PAD + h_blk * 128 + n0
+    q = base // 128
+    off = base - q * 128
+    win = xpad_ref[:, pl.ds(pl.multiple_of(q * 128, 128), 384)]
+    for b in range(7):  # shift left by off in [0, 128); left-by-s == roll by (384 - s)
+        bit = ((off >> b) & 1) == 1
+        win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
+    # now win[:, l] == xpad[rows, base + l] for l < 384 - 127
+
+    acc = jnp.zeros((B, 128), jnp.float32)
+    if nearest:
+        ri_rel = jnp.round(pos) - lanes_f - n0.astype(jnp.float32)
+        for m in range(maxspan):
+            wgt = (ri_rel == float(m)).astype(jnp.float32)
+            acc = acc + wgt * win[:, m : m + 128]
+    else:
+        d0 = rel - n0.astype(jnp.float32)
+        for m in range(maxspan):
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
+            acc = acc + wgt * win[:, m : m + 128]
+
+    lo_edge = xpad_ref[:, PAD][:, None]
+    hi_edge = xpad_ref[:, PAD + S - 1][:, None]
+    o_ref[:] = jnp.where(sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc))
+
+
+def _pad_rows(x2d: jnp.ndarray) -> jnp.ndarray:
+    """Edge-replicate pad: PAD left, PAD+128 right (room for the aligned
+    3-vreg window at the largest block base)."""
+    return jnp.pad(x2d, ((0, 0), (PAD, PAD + 128)), mode="edge")
+
+
+def _hat_pass_jnp(x2d, pos, nearest):
+    """Reference/CPU fallback with identical semantics (XLA gathers)."""
+    S = x2d.shape[1]
+    sat_lo = pos <= 0.0
+    sat_hi = pos >= S - 1.0
+    c = jnp.clip(pos, 0, S - 1)
+    if nearest:
+        idx = jnp.round(c).astype(jnp.int32)
+        out = jnp.take_along_axis(x2d, idx, axis=1)
+    else:
+        f = jnp.clip(jnp.floor(c), 0, S - 2)
+        w = (c - f).astype(x2d.dtype)
+        fi = f.astype(jnp.int32)
+        g0 = jnp.take_along_axis(x2d, fi, axis=1)
+        g1 = jnp.take_along_axis(x2d, fi + 1, axis=1)
+        out = g0 * (1.0 - w) + g1 * w
+    out = jnp.where(sat_lo, x2d[:, :1], out)
+    out = jnp.where(sat_hi, x2d[:, S - 1 :][:, :1], out)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "maxspan", "nearest")
+)
+def hat_pass(vol, coefs, disp, shape, maxspan, nearest):
+    """Resample the LAST axis of ``vol`` (D, H, W) at affine(+disp) positions.
+
+    pos(i, j, k) = c0*i + c1*j + c2*k + c3 [+ disp[i,j,k]] in last-axis voxel
+    units; edge-clamped interpolation (linear or nearest).
+    """
+    D, H, W = shape
+    R = D * H
+    x2d = vol.reshape(R, W)
+    coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+
+    if not _use_pallas() or R % BLOCK_ROWS or W % 128:
+        rows = jnp.arange(R, dtype=jnp.float32)
+        ri = jnp.floor(rows / H)
+        rj = rows - ri * H
+        lanes = jnp.arange(W, dtype=jnp.float32)
+        pos = (
+            coefs[0] * ri[:, None]
+            + coefs[1] * rj[:, None]
+            + coefs[2] * lanes[None, :]
+            + coefs[3]
+        )
+        if disp is not None:
+            pos = pos + disp.reshape(R, W)
+        return _hat_pass_jnp(x2d, pos, nearest).reshape(D, H, W)
+
+    xpad = _pad_rows(x2d)
+    with_disp = disp is not None
+    kernel = functools.partial(
+        _hat_kernel,
+        S=W,
+        H_rows=H,
+        maxspan=maxspan,
+        nearest=nearest,
+        with_disp=with_disp,
+    )
+    disp2d = disp.reshape(R, W) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    disp_spec = (
+        pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+        if with_disp
+        else pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.float32),
+        grid=(R // BLOCK_ROWS, W // 128),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (BLOCK_ROWS, W + 2 * PAD + 128), lambda r, h: (r, 0), memory_space=pltpu.VMEM
+            ),
+            disp_spec,
+        ],
+        out_specs=pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+    )(coefs.reshape(1, 4), xpad, disp2d)
+    return out.reshape(D, H, W)
+
+
+# ---------------------------------------------------------------------------
+# UL factorization (A = U @ L, L unit-lower, U upper with diagonal)
+# ---------------------------------------------------------------------------
+
+def ul_decompose(A: jnp.ndarray):
+    """Backward Doolittle: A = U L. Stable for near-identity affines."""
+    A = jnp.asarray(A, jnp.float32)
+    u22 = A[2, 2]
+    l20 = A[2, 0] / u22
+    l21 = A[2, 1] / u22
+    u12 = A[1, 2]
+    u11 = A[1, 1] - u12 * l21
+    l10 = (A[1, 0] - u12 * l20) / u11
+    u02 = A[0, 2]
+    u01 = A[0, 1] - u02 * l21
+    u00 = A[0, 0] - u01 * l10 - u02 * l20
+    U = jnp.array([[u00, u01, u02], [0.0, u11, u12], [0.0, 0.0, u22]])
+    L = jnp.array([[1.0, 0.0, 0.0], [l10, 1.0, 0.0], [l20, l21, 1.0]])
+    return U, L
+
+
+# Static pass window: within-block position span bound for the supported
+# deformation ranges (rot<=20deg, shear<=0.05, scale in [0.8, 1.25]) at
+# 32-row blocks. One shared value keeps the compile-variant count at two
+# (linear/nearest) per volume shape.
+MAXSPAN_U = 48
+MAXSPAN_L = 48
+MAXSPAN_FIELD = 48
+
+
+def warp_affine_separable(vol, A, t, nearest=False):
+    """``out[o] = V[A o + t]`` via five triangular hat passes (exact positions).
+
+    Pass order (layouts in parentheses, gathered axis last):
+      U-z (i,j,k) -> U-y (i,k,j) -> U-x (j,k,i) -> L-y (i,k,j) -> L-z (i,j,k).
+    """
+    D, H, W = vol.shape
+    U, L = ul_decompose(A)
+    t = jnp.asarray(t, jnp.float32)
+    dt = vol.dtype
+    v = vol.astype(jnp.float32)
+
+    # U-stage: W1(p) = V[U p + t]
+    x = hat_pass(v, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), MAXSPAN_U, nearest)
+    x = jnp.transpose(x, (0, 2, 1))  # (i, k, j)
+    x = hat_pass(x, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, W, H), MAXSPAN_U, nearest)
+    x = jnp.transpose(x, (2, 1, 0))  # (j, k, i)
+    x = hat_pass(x, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (H, W, D), MAXSPAN_U, nearest)
+
+    # L-stage: out(o) = W1[L o]
+    x = jnp.transpose(x, (2, 1, 0))  # (i, k, j)
+    x = hat_pass(x, (L[1, 0], 0.0, 1.0, 0.0), None, (D, W, H), MAXSPAN_L, nearest)
+    x = jnp.transpose(x, (0, 2, 1))  # (i, j, k)
+    x = hat_pass(x, (L[2, 0], L[2, 1], 1.0, 0.0), None, (D, H, W), MAXSPAN_L, nearest)
+    return x.astype(dt)
+
+
+def warp_displacement_separable(vol, dx, dy, dz, nearest=False):
+    """``out[o] = V[o + d(o)]`` for small smooth displacements (3 hat passes).
+
+    Displacements are clipped to the pass window (+-22 voxels; ~5.5x the
+    default ``nonlin_std_max`` — beyond the field's realizable range).
+    """
+    D, H, W = vol.shape
+    dt = vol.dtype
+    lim = MAXSPAN_FIELD / 2.0 - 2.0
+    dx = jnp.clip(dx, -lim, lim)
+    dy = jnp.clip(dy, -lim, lim)
+    dz = jnp.clip(dz, -lim, lim)
+    x = vol.astype(jnp.float32)
+    x = hat_pass(x, (0.0, 0.0, 1.0, 0.0), dz, (D, H, W), MAXSPAN_FIELD, nearest)
+    x = jnp.transpose(x, (0, 2, 1))
+    x = hat_pass(
+        x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dy, (0, 2, 1)), (D, W, H), MAXSPAN_FIELD, nearest
+    )
+    x = jnp.transpose(x, (2, 1, 0))  # (j, k, i) wait: (i,k,j)->(j,k,i)
+    x = hat_pass(
+        x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dx, (1, 2, 0)), (H, W, D), MAXSPAN_FIELD, nearest
+    )
+    return jnp.transpose(x, (2, 0, 1)).astype(dt)
