@@ -264,11 +264,16 @@ class FetalSynthGen:
 
         # SR artifacts (optional; applied post-augmentation like model.py:210-220)
         artifact_meta = {}
+        artifact_tags = {"blur_cortex": 301, "struct_noise": 302, "simulate_motion": 303, "boundaries": 304}
         for name, artifact in self.artifacts.items():
             if artifact is not None:
+                akey = jax.random.fold_in(key, artifact_tags[name])
+                # host-side scalar draws are keyed off the sample key so the
+                # whole sample (incl. artifact gates) replays from (key, genparams)
+                arng = np.random.default_rng(_key_data(akey).tolist())
                 out, meta = artifact(
                     out, seg, genparams=genparams.get("artifacts", {}).get(name, {}),
-                    resolution=self.cfg.resolution, key=jax.random.fold_in(key, hash(name) % (2**31)),
+                    resolution=self.cfg.resolution, key=akey, rng=arng,
                 )
                 artifact_meta[name] = meta
 

@@ -1,0 +1,144 @@
+"""Structured noise fields: Perlin/fractal noise and mixture-of-Gaussian maps.
+
+Reference parity with ``fetalsyngen/generator/artifacts/utils.py``:
+- ``perlin_noise_3d`` / ``fractal_noise_3d`` == ``generate_perlin_noise_3d`` /
+  ``generate_fractal_noise_3d`` (``utils.py:224-388``), re-designed for TPU:
+  lattice gradients are *repeated* into cell-constant volumes (cells are large,
+  32^3+), so the corner dot-products are pure elementwise math — no gathers.
+  Note: the reference reseeds NumPy with time.time() here (``utils.py:365-367``),
+  destroying reproducibility; we thread an explicit PRNG key instead.
+- ``mog_3d`` == ``mog_3d_tensor`` (``utils.py:125-160``) with centers given in
+  (i, j, k) grid order matching the volume axes. (The reference pairs the
+  first center coordinate with the last grid axis — a transposition we do not
+  replicate.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _fade(t):
+    return t * t * t * (t * (t * 6 - 15) + 10)
+
+
+def _repeat_cells(g: jnp.ndarray, reps: tuple[int, int, int]) -> jnp.ndarray:
+    """Nearest-upsample a (r, r, r) lattice to (r*c0, r*c1, r*c2) via broadcast."""
+    r0, r1, r2 = g.shape
+    out = jnp.broadcast_to(
+        g[:, None, :, None, :, None], (r0, reps[0], r1, reps[1], r2, reps[2])
+    )
+    return out.reshape(r0 * reps[0], r1 * reps[1], r2 * reps[2])
+
+
+@partial(jax.jit, static_argnames=("shape", "res"))
+def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int, int, int]):
+    """Tileable 3D Perlin noise (reference ``utils.py:224-327`` semantics).
+
+    ``shape`` must be divisible by ``res``.
+    """
+    cells = tuple(s // r for s, r in zip(shape, res))
+    k1, k2 = jax.random.split(key)
+    theta = 2 * jnp.pi * jax.random.uniform(k1, (res[0], res[1], res[2]))
+    phi = 2 * jnp.pi * jax.random.uniform(k2, (res[0], res[1], res[2]))
+    # tileable: the lattice wraps (index modulo res), matching the reference's
+    # gradients[-1] = gradients[0] identification.
+    gx = jnp.sin(phi) * jnp.cos(theta)
+    gy = jnp.sin(phi) * jnp.sin(theta)
+    gz = jnp.cos(phi)
+
+    # local coordinates within each cell in lattice units
+    loc = [
+        (jnp.arange(shape[d], dtype=jnp.float32) % cells[d]) / cells[d] for d in range(3)
+    ]
+    t0 = _fade(loc[0])[:, None, None]
+    t1 = _fade(loc[1])[None, :, None]
+    t2 = _fade(loc[2])[None, None, :]
+    d0 = loc[0][:, None, None]
+    d1 = loc[1][None, :, None]
+    d2 = loc[2][None, None, :]
+
+    def corner(a, b, c):
+        def grad(g):
+            rolled = jnp.roll(g, (-a, -b, -c), axis=(0, 1, 2))
+            return _repeat_cells(rolled, cells)
+
+        return grad(gx) * (d0 - a) + grad(gy) * (d1 - b) + grad(gz) * (d2 - c)
+
+    n000 = corner(0, 0, 0)
+    n100 = corner(1, 0, 0)
+    n010 = corner(0, 1, 0)
+    n110 = corner(1, 1, 0)
+    n001 = corner(0, 0, 1)
+    n101 = corner(1, 0, 1)
+    n011 = corner(0, 1, 1)
+    n111 = corner(1, 1, 1)
+
+    n00 = n000 * (1 - t0) + t0 * n100
+    n10 = n010 * (1 - t0) + t0 * n110
+    n01 = n001 * (1 - t0) + t0 * n101
+    n11 = n011 * (1 - t0) + t0 * n111
+    n0 = n00 * (1 - t1) + t1 * n10
+    n1 = n01 * (1 - t1) + t1 * n11
+    return n0 * (1 - t2) + t2 * n1
+
+
+@partial(jax.jit, static_argnames=("shape", "res", "octaves", "lacunarity"))
+def fractal_noise_3d(
+    key: jax.Array,
+    shape: tuple[int, int, int],
+    res: tuple[int, int, int],
+    octaves: int = 1,
+    persistence: float = 0.5,
+    lacunarity: int = 2,
+    increase: float = 0.0,
+):
+    """Multi-octave Perlin, normalized to [0, 1] (``utils.py:330-388``)."""
+    noise = jnp.zeros(shape, jnp.float32)
+    frequency = 1
+    amplitude = 1.0
+    for o in range(octaves):
+        noise += amplitude * perlin_noise_3d(
+            jax.random.fold_in(key, o),
+            shape,
+            tuple(frequency * r for r in res),
+        )
+        frequency *= lacunarity
+        amplitude *= persistence
+    noise = (noise + increase - noise.min()) / (noise.max() - noise.min())
+    return jnp.clip(noise, 0.0, 1.0)
+
+
+def mog_3d(
+    shape: tuple[int, int, int],
+    centers: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sum of Gaussians, clipped to [0, 1] (``utils.py:125-160``).
+
+    Args:
+        shape: volume shape.
+        centers: (N, 3) float centers in (i, j, k) grid coordinates.
+        sigmas: (N, 3) per-axis sigmas (broadcastable).
+        valid: optional (N,) mask (fixed-shape padding support).
+    """
+    centers = jnp.asarray(centers, jnp.float32)
+    sigmas = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), centers.shape)
+    if valid is None:
+        valid = jnp.ones(centers.shape[0], bool)
+
+    gi = jnp.arange(shape[0], dtype=jnp.float32)[:, None, None]
+    gj = jnp.arange(shape[1], dtype=jnp.float32)[None, :, None]
+    gk = jnp.arange(shape[2], dtype=jnp.float32)[None, None, :]
+
+    def body(acc, args):
+        c, s, v = args
+        d = ((gi - c[0]) / s[0]) ** 2 + ((gj - c[1]) / s[1]) ** 2 + ((gk - c[2]) / s[2]) ** 2
+        return acc + jnp.where(v, jnp.exp(-d / 2.0), 0.0), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(shape, jnp.float32), (centers, sigmas, valid))
+    return jnp.clip(acc, 0.0, 1.0)

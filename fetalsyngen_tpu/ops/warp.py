@@ -159,24 +159,26 @@ def _hat_pass_jnp(x2d, pos, nearest):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "maxspan", "nearest")
+    jax.jit, static_argnames=("shape", "maxspan", "nearest", "out_len")
 )
-def hat_pass(vol, coefs, disp, shape, maxspan, nearest):
+def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
     """Resample the LAST axis of ``vol`` (D, H, W) at affine(+disp) positions.
 
     pos(i, j, k) = c0*i + c1*j + c2*k + c3 [+ disp[i,j,k]] in last-axis voxel
-    units; edge-clamped interpolation (linear or nearest).
+    units; edge-clamped interpolation (linear or nearest). ``out_len``
+    optionally changes the resampled axis length (output (D, H, out_len)).
     """
     D, H, W = shape
+    OW = W if out_len is None else out_len
     R = D * H
     x2d = vol.reshape(R, W)
     coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
 
-    if not _use_pallas() or R % BLOCK_ROWS or W % 128:
+    if not _use_pallas() or R % BLOCK_ROWS or W % 128 or OW % 128:
         rows = jnp.arange(R, dtype=jnp.float32)
         ri = jnp.floor(rows / H)
         rj = rows - ri * H
-        lanes = jnp.arange(W, dtype=jnp.float32)
+        lanes = jnp.arange(OW, dtype=jnp.float32)
         pos = (
             coefs[0] * ri[:, None]
             + coefs[1] * rj[:, None]
@@ -184,8 +186,8 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest):
             + coefs[3]
         )
         if disp is not None:
-            pos = pos + disp.reshape(R, W)
-        return _hat_pass_jnp(x2d, pos, nearest).reshape(D, H, W)
+            pos = pos + disp.reshape(R, OW)
+        return _hat_pass_jnp(x2d, pos, nearest).reshape(D, H, OW)
 
     xpad = _pad_rows(x2d)
     with_disp = disp is not None
@@ -197,7 +199,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest):
         nearest=nearest,
         with_disp=with_disp,
     )
-    disp2d = disp.reshape(R, W) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
     disp_spec = (
         pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
         if with_disp
@@ -205,8 +207,8 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest):
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R, W), jnp.float32),
-        grid=(R // BLOCK_ROWS, W // 128),
+        out_shape=jax.ShapeDtypeStruct((R, OW), jnp.float32),
+        grid=(R // BLOCK_ROWS, OW // 128),
         in_specs=[
             pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -217,7 +219,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest):
         out_specs=pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM),
         interpret=_INTERPRET,
     )(coefs.reshape(1, 4), xpad, disp2d)
-    return out.reshape(D, H, W)
+    return out.reshape(D, H, OW)
 
 
 # ---------------------------------------------------------------------------
@@ -250,30 +252,37 @@ MAXSPAN_L = 48
 MAXSPAN_FIELD = 48
 
 
-def warp_affine_separable(vol, A, t, nearest=False):
+def warp_affine_separable(vol, A, t, nearest=False, out_shape=None, maxspan=None):
     """``out[o] = V[A o + t]`` via five triangular hat passes (exact positions).
 
     Pass order (layouts in parentheses, gathered axis last):
       U-z (i,j,k) -> U-y (i,k,j) -> U-x (j,k,i) -> L-y (i,k,j) -> L-z (i,j,k).
+
+    ``out_shape`` optionally differs from ``vol.shape`` (the output grid the
+    map is evaluated on). ``maxspan`` widens the pass window for maps whose
+    slopes deviate further from 1 than the deformation-config bounds.
     """
     D, H, W = vol.shape
+    OD, OH, OW = out_shape if out_shape is not None else (D, H, W)
+    ms_u = maxspan or MAXSPAN_U
+    ms_l = maxspan or MAXSPAN_L
     U, L = ul_decompose(A)
     t = jnp.asarray(t, jnp.float32)
     dt = vol.dtype
     v = vol.astype(jnp.float32)
 
-    # U-stage: W1(p) = V[U p + t]
-    x = hat_pass(v, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), MAXSPAN_U, nearest)
-    x = jnp.transpose(x, (0, 2, 1))  # (i, k, j)
-    x = hat_pass(x, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, W, H), MAXSPAN_U, nearest)
-    x = jnp.transpose(x, (2, 1, 0))  # (j, k, i)
-    x = hat_pass(x, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (H, W, D), MAXSPAN_U, nearest)
+    # U-stage: W1(p) = V[U p + t]  (shapes grow to the output grid axis-wise)
+    x = hat_pass(v, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), ms_u, nearest, out_len=OW)
+    x = jnp.transpose(x, (0, 2, 1))  # (i, k', j)
+    x = hat_pass(x, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, OW, H), ms_u, nearest, out_len=OH)
+    x = jnp.transpose(x, (2, 1, 0))  # (j', k', i)
+    x = hat_pass(x, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (OH, OW, D), ms_u, nearest, out_len=OD)
 
     # L-stage: out(o) = W1[L o]
-    x = jnp.transpose(x, (2, 1, 0))  # (i, k, j)
-    x = hat_pass(x, (L[1, 0], 0.0, 1.0, 0.0), None, (D, W, H), MAXSPAN_L, nearest)
-    x = jnp.transpose(x, (0, 2, 1))  # (i, j, k)
-    x = hat_pass(x, (L[2, 0], L[2, 1], 1.0, 0.0), None, (D, H, W), MAXSPAN_L, nearest)
+    x = jnp.transpose(x, (2, 1, 0))  # (i', k', j')
+    x = hat_pass(x, (L[1, 0], 0.0, 1.0, 0.0), None, (OD, OW, OH), ms_l, nearest)
+    x = jnp.transpose(x, (0, 2, 1))  # (i', j', k')
+    x = hat_pass(x, (L[2, 0], L[2, 1], 1.0, 0.0), None, (OD, OH, OW), ms_l, nearest)
     return x.astype(dt)
 
 
@@ -300,3 +309,106 @@ def warp_displacement_separable(vol, dx, dy, dz, nearest=False):
         x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dx, (1, 2, 0)), (H, W, D), MAXSPAN_FIELD, nearest
     )
     return jnp.transpose(x, (2, 0, 1)).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary rigid warps: quarter-turns + Paeth shears
+# ---------------------------------------------------------------------------
+#
+# The UL path above assumes near-identity affines (deformation augmentation).
+# The scanner simulation needs warps by ARBITRARY rotations (random stack
+# orientations over the full sphere). Any rotation factors into three
+# single-axis rotations (Euler), each reduced modulo 90 deg: the quarter-turn
+# part is an exact array rot90 (pure layout), and the residual (<= 45 deg)
+# uses Paeth's three-shear identity
+#   R(th) = Shx(-tan(th/2)) Shy(sin th) Shx(-tan(th/2))
+# whose passes are all unit-slope hat passes with small spans.
+
+import numpy as _np
+
+_PLANE = {0: (1, 2), 1: (2, 0), 2: (0, 1)}  # rotation axis -> rotated plane
+
+
+def _shear_pass(vol, axis_move, axis_fix, amount, bias, nearest):
+    """pos[axis_move] = idx + amount * centered(axis_fix) + bias."""
+    D, H, W = vol.shape
+    c = [(s - 1) / 2.0 for s in vol.shape]
+    # bring axis_move into lanes
+    perm = [a for a in range(3) if a != axis_move] + [axis_move]
+    x = jnp.transpose(vol, perm)
+    shp = tuple(x.shape)
+    # row coefficient for axis_fix (row_i = perm[0], row_j = perm[1])
+    ci = cj = 0.0
+    if perm[0] == axis_fix:
+        ci = amount
+    else:
+        cj = amount
+    b = bias - amount * c[axis_fix]
+    x = hat_pass(x, (ci, cj, 1.0, b), None, shp, MAXSPAN_L, nearest)
+    inv = _np.argsort(perm)
+    return jnp.transpose(x, tuple(inv))
+
+
+def _axis_rotation_warp(vol, axis, theta, nearest):
+    """Warp sampling ``V(R_axis(theta) q)`` about the volume center."""
+    k = int(_np.round(theta / (_np.pi / 2)))
+    res = theta - k * (_np.pi / 2)
+    a, b = _PLANE[axis]
+    x = vol
+    # quarter turns: sampling V(R90^k q) == rotating the array by -k
+    if k % 4:
+        x = jnp.rot90(x, k=(-k) % 4, axes=(a, b))
+    if abs(res) > 1e-8:
+        sh1 = -_np.tan(res / 2.0)
+        sh2 = _np.sin(res)
+        # R(res) in the (a, b) plane: pos_a = a + sh*? via Paeth shears
+        x = _shear_pass(x, a, b, float(sh1), 0.0, nearest)
+        x = _shear_pass(x, b, a, float(sh2), 0.0, nearest)
+        x = _shear_pass(x, a, b, float(sh1), 0.0, nearest)
+    return x
+
+
+def warp_rigid_separable(vol, R, t, out_shape=None, nearest=False):
+    """``out[q] = V[R q + t]`` for an ARBITRARY rotation ``R`` (host-concrete
+    numpy (3,3) in array-index space) + translation ``t``, about grid centers.
+
+    ``out_shape`` embeds the result on a larger/smaller centered grid.
+    Decomposition: R = Rx(al) Ry(be) Rz(ga) (intrinsic xyz about array axes),
+    each axis warp = rot90 + <=45 deg Paeth shears. Total <= 9 unit-slope hat
+    passes + 1 translation pass set.
+    """
+    from scipy.spatial.transform import Rotation as _Rot
+
+    R = _np.asarray(R, _np.float64)
+    t = _np.asarray(t, _np.float64)
+    out_shape = tuple(out_shape) if out_shape is not None else vol.shape
+    dt = vol.dtype
+    x = vol.astype(jnp.float32)
+
+    # embed on the working grid (the larger per axis, centered zero-pad);
+    # shrink (centered crop) only AFTER the warp so rotated-in content from
+    # outside the output FOV is preserved.
+    work_shape = tuple(max(si, so) for si, so in zip(vol.shape, out_shape))
+    if work_shape != vol.shape:
+        pads = [((w - s) // 2, (w - s) - (w - s) // 2) for s, w in zip(vol.shape, work_shape)]
+        x = jnp.pad(x, pads)
+
+    # sampling map about centers: pos = R (q - c) + c + t
+    # intrinsic decomposition R = Rx Ry Rz -> warp V by Rx first.
+    al, be, ga = _Rot.from_matrix(R).as_euler("XYZ")
+    # translation first (uniform shifts), then the three axis rotations:
+    # V(R(q-c) + c + t): let V1(p) = V(p + t): V1(R(q-c)+c);
+    # V1 o Rx o Ry o Rz applied in stages.
+    for axis, shift in enumerate(t):
+        if abs(shift) > 1e-8:
+            x = _shear_pass(x, axis, (axis + 1) % 3, 0.0, float(shift), nearest)
+    x = _axis_rotation_warp(x, 0, float(al), nearest)
+    x = _axis_rotation_warp(x, 1, float(be), nearest)
+    x = _axis_rotation_warp(x, 2, float(ga), nearest)
+
+    if work_shape != out_shape:
+        crops = tuple(
+            slice((w - so) // 2, (w - so) // 2 + so) for w, so in zip(work_shape, out_shape)
+        )
+        x = x[crops]
+    return x.astype(dt)
