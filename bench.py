@@ -69,8 +69,9 @@ def main():
         _, acc = jax.lax.fori_loop(0, iters, body, (key, jnp.float32(0)))
         return acc
 
-    # warmup / compile
-    float(chain(jax.random.PRNGKey(0), seeds, segs, 1))
+    # warmup / compile (same trip count as the timed call so the timed
+    # region contains zero compilation)
+    float(chain(jax.random.PRNGKey(0), seeds, segs, args.iters))
 
     t0 = time.perf_counter()
     float(chain(jax.random.PRNGKey(1), seeds, segs, args.iters))

@@ -38,7 +38,12 @@ from ..ops.linops import (
     interp_matrix,
     zoom_mm,
 )
-from ..ops.warp import warp_affine_separable, warp_displacement_separable
+from ..ops.warp import (
+    warp_affine_field_pair,
+    warp_affine_field_separable,
+    warp_affine_separable,
+    warp_displacement_separable,
+)
 from .config import GeneratorCfg
 from .params import GenParams, field_key, sample_params
 
@@ -174,10 +179,20 @@ def _deform_separable(
     t = c2 - jnp.matmul(A, c1, precision=jax.lax.Precision.HIGHEST) - shift
 
     def run(vol, nearest):
-        v2 = warp_affine_separable(vol, A, t, nearest=nearest)
         if dcfg.nonlinear_transform:
-            v2 = warp_displacement_separable(v2, Fx, Fy, Fz, nearest=nearest)
-        return v2
+            return warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=nearest)
+        return warp_affine_separable(vol, A, t, nearest=nearest)
+
+    # Fast path: the image + segmentation pair shares one kernel per pass
+    # (identical sample positions; window staging and position math computed
+    # once). Extra linear volumes (load_image) take the single-volume path.
+    if dcfg.nonlinear_transform and len(volumes_nearest) == 1:
+        a, b = warp_affine_field_pair(volumes_linear[0], volumes_nearest[0], A, t, Fx, Fy, Fz)
+        lin = [jnp.where(ok, a, 0.0)] + [
+            jnp.where(ok, run(v, False), 0.0) for v in volumes_linear[1:]
+        ]
+        near = [b.astype(volumes_nearest[0].dtype)]
+        return lin, near
 
     lin = [jnp.where(ok, run(v, False), 0.0) for v in volumes_linear]
     near = [run(v.astype(jnp.float32), True).astype(v.dtype) for v in volumes_nearest]

@@ -412,3 +412,192 @@ def warp_rigid_separable(vol, R, t, out_shape=None, nearest=False):
         )
         x = x[crops]
     return x.astype(dt)
+
+
+def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
+    """Fused affine + displacement warp: ``out[o] = V[A (o + F(o)) + t']``.
+
+    Six passes instead of eight: the U-stage handles the affine exactly; the
+    L-stage passes carry the displacement, using the identity
+    ``U^{-1} (A F) = L F`` (so the per-pass displacement fields are just
+    L-combinations of the raw field components evaluated on the output grid).
+    Same first-order triangular approximation for the field as
+    :func:`warp_displacement_separable`.
+    """
+    D, H, W = vol.shape
+    U, L = ul_decompose(A)
+    t = jnp.asarray(t, jnp.float32)
+    dt = vol.dtype
+    v = vol.astype(jnp.float32)
+    lim = MAXSPAN_FIELD / 2.0 - 2.0
+
+    gx = jnp.clip(Fx, -lim, lim)
+    gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
+    gz = jnp.clip(L[2, 0] * Fx + L[2, 1] * Fy + Fz, -lim, lim)
+
+    # U-stage: W1(p) = V[U p + t]
+    x = hat_pass(v, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), MAXSPAN_U, nearest)
+    x = jnp.transpose(x, (0, 2, 1))  # (i, k, j)
+    x = hat_pass(x, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, W, H), MAXSPAN_U, nearest)
+    x = jnp.transpose(x, (2, 1, 0))  # (j, k, i)
+    x = hat_pass(x, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (H, W, D), MAXSPAN_U, nearest)
+
+    # L-stage with displacement: out(o) = W1[L o + g(o)]
+    # y-pass (lanes j): pos = l10 i + j + gy
+    x = jnp.transpose(x, (2, 1, 0))  # (i, k, j)
+    x = hat_pass(
+        x, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H), MAXSPAN_FIELD, nearest
+    )
+    # z-pass (lanes k): pos = l20 i + l21 j + k + gz
+    x = jnp.transpose(x, (0, 2, 1))  # (i, j, k)
+    x = hat_pass(x, (L[2, 0], L[2, 1], 1.0, 0.0), gz, (D, H, W), MAXSPAN_FIELD, nearest)
+    # x-pass (lanes i): pos = i + gx
+    x = jnp.transpose(x, (1, 2, 0))  # (j, k, i)
+    x = hat_pass(
+        x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(gx, (1, 2, 0)), (H, W, D), MAXSPAN_FIELD, nearest
+    )
+    return jnp.transpose(x, (2, 0, 1)).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Paired pass: warp two volumes (linear + nearest) through one kernel
+# ---------------------------------------------------------------------------
+#
+# The generator always warps the image (linear) and the segmentation
+# (nearest) with IDENTICAL sample positions. A paired kernel shares the
+# window staging, position math, and block overheads — the dominant per-pass
+# fixed costs — between the two operands.
+
+def _hat_pair_kernel(coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, *, S, H_rows, maxspan, with_disp):
+    r_blk = pl.program_id(0)
+    h_blk = pl.program_id(1)
+    ci, cj, ck, bias = (coef_ref[0, i] for i in range(4))
+
+    B = BLOCK_ROWS
+    rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+    row_i = (rows // H_rows).astype(jnp.float32)
+    row_j = (rows % H_rows).astype(jnp.float32)
+    lanes_f = (h_blk * 128 + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)).astype(jnp.float32)
+
+    pos = ci * row_i + cj * row_j + ck * lanes_f + bias
+    if with_disp:
+        pos = pos + disp_ref[:]
+
+    sat_lo = pos <= 0.0
+    sat_hi = pos >= S - 1.0
+    valid = jnp.logical_not(jnp.logical_or(sat_lo, sat_hi))
+    rel = pos - lanes_f
+    rel_v = jnp.where(valid, rel, _BIG)
+    n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
+    width = S + 2 * PAD + 128
+    n0 = jnp.clip(n0, -(PAD + h_blk * 128), width - 384 - PAD - h_blk * 128)
+
+    base = PAD + h_blk * 128 + n0
+    q = base // 128
+    off = base - q * 128
+    wa = xa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), 384)]
+    wb = xb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), 384)]
+    for b in range(7):
+        bit = ((off >> b) & 1) == 1
+        sh = 384 - (1 << b)
+        wa = jnp.where(bit, pltpu.roll(wa, sh, 1), wa)
+        wb = jnp.where(bit, pltpu.roll(wb, sh, 1), wb)
+
+    acc_a = jnp.zeros((B, 128), jnp.float32)
+    acc_b = jnp.zeros((B, 128), jnp.float32)
+    d0 = rel - n0.astype(jnp.float32)
+    ri_rel = jnp.round(pos) - lanes_f - n0.astype(jnp.float32)
+    for m in range(maxspan):
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
+        acc_a = acc_a + wgt * wa[:, m : m + 128]
+        nsel = ri_rel == float(m)
+        acc_b = jnp.where(nsel, wb[:, m : m + 128], acc_b)
+
+    oa_ref[:] = jnp.where(
+        sat_lo, xa_ref[:, PAD][:, None], jnp.where(sat_hi, xa_ref[:, PAD + S - 1][:, None], acc_a)
+    )
+    ob_ref[:] = jnp.where(
+        sat_lo, xb_ref[:, PAD][:, None], jnp.where(sat_hi, xb_ref[:, PAD + S - 1][:, None], acc_b)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "maxspan", "out_len"))
+def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None):
+    """One axis pass over TWO volumes: ``va`` linear, ``vb`` nearest."""
+    D, H, W = shape
+    OW = W if out_len is None else out_len
+    R = D * H
+    coefs_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+
+    if not _use_pallas() or R % BLOCK_ROWS or W % 128 or OW % 128:
+        a = hat_pass(va, coefs, disp, shape, maxspan, False, out_len=out_len)
+        b = hat_pass(vb, coefs, disp, shape, maxspan, True, out_len=out_len)
+        return a, b
+
+    xa = _pad_rows(va.reshape(R, W))
+    xb = _pad_rows(vb.reshape(R, W))
+    with_disp = disp is not None
+    kernel = functools.partial(
+        _hat_pair_kernel, S=W, H_rows=H, maxspan=maxspan, with_disp=with_disp
+    )
+    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    disp_spec = (
+        pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+        if with_disp
+        else pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+    )
+    wide = pl.BlockSpec(
+        (BLOCK_ROWS, W + 2 * PAD + 128), lambda r, h: (r, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+    oa, ob = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, OW), jnp.float32),
+            jax.ShapeDtypeStruct((R, OW), jnp.float32),
+        ),
+        grid=(R // BLOCK_ROWS, OW // 128),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
+            wide,
+            wide,
+            disp_spec,
+        ],
+        out_specs=(out_spec, out_spec),
+        interpret=_INTERPRET,
+    )(coefs_arr.reshape(1, 4), xa, xb, disp2d)
+    return oa.reshape(D, H, OW), ob.reshape(D, H, OW)
+
+
+def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
+    """Fused affine+field warp of (linear, nearest) volume pair — 6 shared
+    passes (see :func:`warp_affine_field_separable`)."""
+    D, H, W = va.shape
+    U, L = ul_decompose(A)
+    t = jnp.asarray(t, jnp.float32)
+    a = va.astype(jnp.float32)
+    b = vb.astype(jnp.float32)
+    lim = MAXSPAN_FIELD / 2.0 - 2.0
+    gx = jnp.clip(Fx, -lim, lim)
+    gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
+    gz = jnp.clip(L[2, 0] * Fx + L[2, 1] * Fy + Fz, -lim, lim)
+
+    def tp(x, p):
+        return jnp.transpose(x, p)
+
+    a, b = hat_pass_pair(a, b, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), MAXSPAN_U)
+    a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
+    a, b = hat_pass_pair(a, b, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, W, H), MAXSPAN_U)
+    a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    a, b = hat_pass_pair(a, b, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (H, W, D), MAXSPAN_U)
+    a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    a, b = hat_pass_pair(
+        a, b, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H), MAXSPAN_FIELD
+    )
+    a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
+    a, b = hat_pass_pair(a, b, (L[2, 0], L[2, 1], 1.0, 0.0), gz, (D, H, W), MAXSPAN_FIELD)
+    a, b = tp(a, (1, 2, 0)), tp(b, (1, 2, 0))
+    a, b = hat_pass_pair(
+        a, b, (0.0, 0.0, 1.0, 0.0), jnp.transpose(gx, (1, 2, 0)), (H, W, D), MAXSPAN_FIELD
+    )
+    return jnp.transpose(a, (2, 0, 1)), jnp.transpose(b, (2, 0, 1)).astype(vb.dtype)

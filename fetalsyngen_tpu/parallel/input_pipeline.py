@@ -1,0 +1,160 @@
+"""High-throughput input pipeline: device-resident seed banks + prefetch.
+
+SURVEY §7 hard-part #5: the reference re-reads 4 seed NIfTIs from disk per
+sample inside forked DataLoader workers (``rand_gmm.py:90-97``,
+``test_dl.py:17-23``) — host IO can starve a pod. The TPU-native pipeline:
+
+1. **Device seed banks.** All (n_subclusters, meta_label) seed variants of a
+   subject are decoded once, stacked into an int8 array
+   ``(n_options, 4, D, H, W)``, and cached in HBM. Per-sample seed
+   composition (pick a subcluster count per meta-label and SUM the four
+   volumes — ``load_seeds``) becomes a jitted device op, so drawing a new
+   sample needs zero host IO.
+2. **Async prefetch.** Batches are generated one step ahead of consumption
+   (``prefetch``), so generation overlaps the consumer (training step).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generator.config import GeneratorCfg
+from ..generator.pipeline import _synth_core
+from ..io import nifti
+
+
+@partial(jax.jit, static_argnames=())
+def compose_seeds(bank: jnp.ndarray, choices: jnp.ndarray) -> jnp.ndarray:
+    """Sum per-meta-label seed variants chosen from the bank (device-side
+    equivalent of ``ImageFromSeeds.load_seeds``).
+
+    Args:
+        bank: (n_options, 4, D, H, W) int8 — all subcluster variants.
+        choices: (4,) int32 — variant index per meta-label (0-based).
+
+    Returns:
+        (D, H, W) int32 summed seed volume.
+    """
+    picked = jnp.take_along_axis(
+        bank.astype(jnp.int32), choices[:, None, None, None][None], axis=0
+    )[0]
+    return picked.sum(axis=0)
+
+
+class SeedBankCache:
+    """Host->HBM seed bank cache keyed by subject name."""
+
+    def __init__(self, seed_paths: dict, capacity: int = 8):
+        self.seed_paths = seed_paths
+        self.capacity = capacity
+        self._cache: collections.OrderedDict[str, jnp.ndarray] = collections.OrderedDict()
+
+    def options(self, name: str) -> list[int]:
+        return sorted(self.seed_paths[name].keys())
+
+    def bank(self, name: str) -> jnp.ndarray:
+        if name in self._cache:
+            self._cache.move_to_end(name)
+            return self._cache[name]
+        per_sub = self.seed_paths[name]
+        opts = self.options(name)
+        vols = np.stack(
+            [
+                np.stack(
+                    [nifti.load_ras(str(per_sub[n][m])).data.astype(np.int8) for m in range(1, 5)]
+                )
+                for n in opts
+            ]
+        )
+        arr = jnp.asarray(vols)
+        self._cache[name] = arr
+        if len(self._cache) > self.capacity:
+            self._cache.popitem(last=False)
+        return arr
+
+
+class SyntheticStream:
+    """Iterator of device-generated batches from a ``FetalSynthDataset``.
+
+    Each batch draws one subject (round-robin), composes per-sample seeds on
+    device, and runs the jitted batched pipeline. With ``prefetch=True`` the
+    next batch is generated while the caller consumes the current one.
+    """
+
+    def __init__(self, dataset, batch_size: int = 4, seed: int = 0, prefetch: bool = True):
+        self.dataset = dataset
+        self.cfg: GeneratorCfg = dataset.generator.cfg
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._banks = SeedBankCache(dataset.seed_paths)
+        self._names = sorted(dataset.seed_paths.keys())
+        self._segs = {}
+        self._i = 0
+
+    def _seg(self, name: str) -> jnp.ndarray:
+        if name not in self._segs:
+            idx = [self.dataset._sub_ses_idx(i) for i in range(len(self.dataset.sub_ses))].index(
+                name
+            )
+            self._segs[name] = jnp.asarray(
+                nifti.load_ras(str(self.dataset.segm_paths[idx])).data, jnp.int32
+            )
+        return self._segs[name]
+
+    def _generate(self):
+        name = self._names[self._i % len(self._names)]
+        self._i += 1
+        bank = self._banks.bank(name)
+        seg = self._seg(name)
+        n_opts = bank.shape[0]
+        B = self.batch_size
+
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, B)
+        icfg = self.cfg.intensity
+        lo = max(icfg.min_subclusters - 1, 0)
+        hi = min(icfg.max_subclusters, n_opts)
+        choices = jax.random.randint(jax.random.fold_in(sub, 1), (B, 4), lo, hi)
+
+        def one(key, ch):
+            seeds = compose_seeds(bank, ch)
+            out, seg_o, _, _ = _synth_core(
+                key, seeds, seg, jnp.zeros((), jnp.float32), (), self.cfg, (), False
+            )
+            peak = jnp.max(out)
+            out = out / jnp.where(peak > 0, peak, 1.0)
+            return out, seg_o
+
+        images, labels = jax.vmap(one)(keys, choices)
+        return {"image": images, "label": labels, "name": name}
+
+    def __iter__(self):
+        if not self.prefetch:
+            while True:
+                yield self._generate()
+
+        q: collections.deque = collections.deque()
+        lock = threading.Lock()
+
+        def producer():
+            batch = self._generate()
+            with lock:
+                q.append(batch)
+
+        t = threading.Thread(target=producer)
+        t.start()
+        while True:
+            t.join()
+            with lock:
+                batch = q.popleft()
+            t = threading.Thread(target=producer)
+            t.start()
+            yield batch
