@@ -66,8 +66,8 @@ def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, near
     coef_ref: (1, 4) SMEM  — (ci, cj, ck, bias) of the affine position map
         pos = ci * row_i + cj * row_j + ck * lane + bias,
         with rows enumerated as row = row_i * H_rows + row_j.
-    xpad_ref: (8, S + 2*PAD) VMEM — edge-padded source rows.
-    disp_ref: (8, 128) VMEM — optional extra per-element displacement.
+    xpad_ref: (BLOCK_ROWS, S + 2*PAD + 128) VMEM — edge-padded source rows.
+    disp_ref: (BLOCK_ROWS, 128) VMEM — optional per-element displacement.
     """
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -101,10 +101,10 @@ def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, near
     n0 = jnp.clip(n0, lo_bound, hi_bound)
 
     # Mosaic supports only 128-aligned dynamic lane slices and single-vreg
-    # dynamic rolls, so the block's source window is staged in three steps:
+    # dynamic rolls, so the block's source window is staged in two steps:
     # (1) a 128-aligned dynamic slice of 3 vregs, (2) a log2 ladder of
-    # conditional STATIC rolls for the sub-128 remainder, (3) a fori_loop that
-    # rolls by one lane per hat tap.
+    # conditional STATIC rolls for the sub-128 remainder; the tap loop then
+    # uses static slices of the aligned window.
     base = PAD + h_blk * 128 + n0
     q = base // 128
     off = base - q * 128
