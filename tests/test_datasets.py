@@ -146,3 +146,23 @@ class TestConfigSystem:
         assert isinstance(ds, FetalSynthDataset)
         item = ds[0]
         assert item["image"].shape == (1, *SHAPE)
+
+
+class TestGenparamsSerialization:
+    def test_genparams_json_roundtrip(self, bids_root):
+        """generation_params must serialize to JSON (the test.py dump path)
+        and replay after a JSON roundtrip."""
+        import json
+
+        import numpy as np
+
+        ds = FetalSynthDataset(
+            str(bids_root), small_generator(), str(bids_root / "derivatives" / "seeds")
+        )
+        first = ds.sample_with_meta(0)
+        gp = first["generation_params"]
+        s = json.dumps(gp, default=lambda o: np.asarray(o).tolist())
+        gp2 = json.loads(s)
+        second = ds.sample_with_meta(0, genparams=gp2)
+        np.testing.assert_allclose(second["image"], first["image"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(second["label"], first["label"])
