@@ -349,6 +349,24 @@ def _shear_pass(vol, axis_move, axis_fix, amount, bias, nearest):
     return jnp.transpose(x, tuple(inv))
 
 
+@functools.partial(jax.jit, static_argnames=("axis", "nearest"))
+def _paeth3(x, sh1, sh2, axis, nearest):
+    """Jitted Paeth shear trio (one dispatch; shear amounts are traced, so a
+    single compilation serves every rotation angle — important on hosts where
+    per-dispatch latency is high)."""
+    a, b = _PLANE[axis]
+    x = _shear_pass(x, a, b, sh1, 0.0, nearest)
+    x = _shear_pass(x, b, a, sh2, 0.0, nearest)
+    return _shear_pass(x, a, b, sh1, 0.0, nearest)
+
+
+@functools.partial(jax.jit, static_argnames=("nearest",))
+def _translate3(x, t, nearest):
+    for axis in range(3):
+        x = _shear_pass(x, axis, (axis + 1) % 3, 0.0, t[axis], nearest)
+    return x
+
+
 def _axis_rotation_warp(vol, axis, theta, nearest):
     """Warp sampling ``V(R_axis(theta) q)`` about the volume center."""
     k = int(_np.round(theta / (_np.pi / 2)))
@@ -359,12 +377,8 @@ def _axis_rotation_warp(vol, axis, theta, nearest):
     if k % 4:
         x = jnp.rot90(x, k=(-k) % 4, axes=(a, b))
     if abs(res) > 1e-8:
-        sh1 = -_np.tan(res / 2.0)
-        sh2 = _np.sin(res)
-        # R(res) in the (a, b) plane: pos_a = a + sh*? via Paeth shears
-        x = _shear_pass(x, a, b, float(sh1), 0.0, nearest)
-        x = _shear_pass(x, b, a, float(sh2), 0.0, nearest)
-        x = _shear_pass(x, a, b, float(sh1), 0.0, nearest)
+        # R(res) in the (a, b) plane via Paeth shears
+        x = _paeth3(x, jnp.float32(-_np.tan(res / 2.0)), jnp.float32(_np.sin(res)), axis, nearest)
     return x
 
 
@@ -399,9 +413,8 @@ def warp_rigid_separable(vol, R, t, out_shape=None, nearest=False):
     # translation first (uniform shifts), then the three axis rotations:
     # V(R(q-c) + c + t): let V1(p) = V(p + t): V1(R(q-c)+c);
     # V1 o Rx o Ry o Rz applied in stages.
-    for axis, shift in enumerate(t):
-        if abs(shift) > 1e-8:
-            x = _shear_pass(x, axis, (axis + 1) % 3, 0.0, float(shift), nearest)
+    if _np.abs(t).max() > 1e-8:
+        x = _translate3(x, jnp.asarray(t, jnp.float32), nearest)
     x = _axis_rotation_warp(x, 0, float(al), nearest)
     x = _axis_rotation_warp(x, 1, float(be), nearest)
     x = _axis_rotation_warp(x, 2, float(ga), nearest)
