@@ -1,0 +1,57 @@
+"""Input pipeline: device seed banks, on-device composition, prefetch stream."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fetalsyngen_tpu.parallel.input_pipeline import SeedBankCache, SyntheticStream, compose_seeds
+
+from fixtures import SHAPE, build_bids_tree
+from test_datasets import small_generator
+
+from fetalsyngen_tpu.data.datasets import FetalSynthDataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = build_bids_tree(tmp_path_factory.mktemp("bids"))
+    return FetalSynthDataset(
+        str(root), small_generator(), str(root / "derivatives" / "seeds")
+    )
+
+
+def test_compose_seeds_matches_host_sum(dataset):
+    cache = SeedBankCache(dataset.seed_paths)
+    name = sorted(dataset.seed_paths.keys())[0]
+    bank = cache.bank(name)
+    assert bank.shape[1] == 4 and bank.shape[2:] == SHAPE
+    choices = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    got = np.asarray(compose_seeds(bank, choices))
+    want = sum(np.asarray(bank[int(choices[m]), m], dtype=np.int32) for m in range(4))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bank_cache_evicts(dataset):
+    cache = SeedBankCache(dataset.seed_paths, capacity=1)
+    names = sorted(dataset.seed_paths.keys())
+    cache.bank(names[0])
+    cache.bank(names[1])
+    assert len(cache._cache) == 1
+
+
+def test_stream_yields_batches(dataset):
+    stream = SyntheticStream(dataset, batch_size=2, seed=0, prefetch=True)
+    it = iter(stream)
+    seen = []
+    for _ in range(3):
+        batch = next(it)
+        img, lab = np.asarray(batch["image"]), np.asarray(batch["label"])
+        assert img.shape == (2, *SHAPE) and lab.shape == (2, *SHAPE)
+        assert np.isfinite(img).all() and img.min() >= 0.0 and img.max() <= 1.0
+        # two samples in a batch differ (independent keys)
+        assert not np.allclose(img[0], img[1])
+        seen.append(batch["name"])
+    # round-robin over subjects
+    assert len(set(seen)) > 1
