@@ -28,12 +28,77 @@ import jax.numpy as jnp
 REFERENCE_VOLS_PER_SEC = 1.78
 
 
+def bench_artifacts(shape_edge: int, samples: int):
+    """Wall-clock seconds/sample for the 4-artifact SR pipeline at
+    ``shape_edge``^3 (host-orchestrated path; includes dispatch overhead —
+    that's what a user pays). Reference path: ``simulate_reco.py:300-466``."""
+    import numpy as np
+
+    from fetalsyngen_tpu.config import load_yaml, resolve_interpolations, instantiate
+
+    gen_cfg = resolve_interpolations(load_yaml("configs/dataset/generator/default.yaml"))
+    # enable all four SR artifacts with the YAML-default parameters
+    for k in ("blur_cortex", "struct_noise", "simulate_motion", "boundaries"):
+        assert k in gen_cfg, f"missing artifact {k} in default.yaml"
+    shape = (shape_edge,) * 3
+    gen_cfg["shape"] = list(shape)
+    gen_cfg["spatial_deform"]["size"] = list(shape)
+    generator = instantiate(gen_cfg)
+
+    from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+    _, seg_np = phantom_seeds_and_seg(shape)
+    from scipy.ndimage import gaussian_filter
+
+    out = gaussian_filter(
+        (seg_np > 0).astype(np.float32) * 100 + (seg_np > 2) * 80, 1.5
+    ).astype(np.float32)
+
+    def one(i):
+        key = jax.random.PRNGKey(100 + i)
+        rng = np.random.default_rng(100 + i)
+        o = jnp.asarray(out)
+        for name, artifact in generator.artifacts.items():
+            if artifact is None:
+                continue
+            akey = jax.random.fold_in(key, hash(name) % 1000)
+            o, _ = artifact(
+                o, seg_np.astype(np.int32), resolution=(0.5, 0.5, 0.5),
+                rng=np.random.default_rng(rng.integers(2**31)), key=akey,
+            )
+        return float(jnp.sum(o[::64, ::64, ::64]))  # device sync
+
+    one(0)  # warmup / compile
+    t0 = time.perf_counter()
+    for i in range(1, samples + 1):
+        one(i)
+    sec = (time.perf_counter() - t0) / samples
+    print(
+        json.dumps(
+            {
+                "metric": f"SR-artifact pipeline {shape_edge}^3 sec/sample",
+                "value": round(sec, 3),
+                "unit": "s/sample",
+                # reference: not benchmarked upstream; round-1 TPU build took
+                # 36-61 s/sample — report speedup vs its midpoint (48 s)
+                "vs_baseline": round(48.0 / sec, 3),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--artifacts", action="store_true", help="bench the SR-artifact pipeline")
+    ap.add_argument("--samples", type=int, default=3)
     args = ap.parse_args()
+
+    if args.artifacts:
+        bench_artifacts(args.shape, args.samples)
+        return
 
     from fetalsyngen_tpu.generator.config import GeneratorCfg, IntensityCfg
     from fetalsyngen_tpu.generator.pipeline import _synth_core

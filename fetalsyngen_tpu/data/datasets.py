@@ -45,8 +45,11 @@ class FetalDataset:
         self.segm_paths = self._load_bids_path(self.bids_path, "dseg")
 
     def find_subjects(self, sub_list):
-        subj_found = [x.name for x in Path(self.bids_path).glob("sub-*")]
-        return sorted(set(subj_found) & set(sub_list)) if sub_list is not None else None
+        """Restrict discovery to ``sub_list`` (None = keep every ``sub-*``)."""
+        if sub_list is None:
+            return None
+        present = {p.name for p in self.bids_path.glob("sub-*")}
+        return sorted(present.intersection(sub_list))
 
     def _sub_ses_string(self, sub, ses):
         return f"{sub}_{ses}" if ses is not None else sub
@@ -56,34 +59,46 @@ class FetalDataset:
         return self._sub_ses_string(sub, ses)
 
     def _get_ses(self, bids_path, sub):
-        sub_path = bids_path / sub
-        ses = []
-        for s in (x for x in sub_path.iterdir() if x.is_dir()):
-            ses.append(None if "anat" in s.name else s.name)
-        return sorted(ses, key=lambda x: x or "")
+        """Session ids for one subject.
+
+        A session-less subject keeps ``anat/`` directly under its directory
+        and is represented by a single ``None`` entry; any other child
+        directory is treated as a session id (reference behavior).
+        """
+        sessions = [
+            None if "anat" in child.name else child.name
+            for child in (bids_path / sub).iterdir()
+            if child.is_dir()
+        ]
+        return sorted(sessions, key=lambda s: s or "")
 
     def _get_pattern(self, sub, ses, suffix, extension=".nii.gz"):
+        """BIDS glob for one subject(/session) anat file with ``suffix``."""
         if ses is None:
             return f"{sub}/anat/{sub}*_{suffix}{extension}"
         return f"{sub}/{ses}/anat/{sub}_{ses}*_{suffix}{extension}"
 
     def _load_bids_path(self, path, suffix):
-        files_paths = []
-        for sub, ses in self.sub_ses:
+        """One file per (sub, ses), in ``self.sub_ses`` order.
+
+        Raises ``FileNotFoundError`` on a missing file and ``RuntimeError``
+        on an ambiguous (multi-match) pattern, like the reference API.
+        """
+
+        def one(sub, ses):
             pattern = self._get_pattern(sub, ses, suffix)
-            files = sorted(path.glob(pattern))
-            if len(files) == 0:
+            matches = sorted(path.glob(pattern))
+            if not matches:
                 raise FileNotFoundError(
-                    f"No files found for requested subject {sub} in {path} "
-                    f"({pattern} returned nothing)"
+                    f"{path}: pattern '{pattern}' matched no file for {sub}"
                 )
-            if len(files) > 1:
+            if len(matches) > 1:
                 raise RuntimeError(
-                    f"Multiple files found for requested subject {sub} in {path} "
-                    f"({pattern} returned {files})"
+                    f"{path}: pattern '{pattern}' is ambiguous for {sub}: {matches}"
                 )
-            files_paths.append(files[0])
-        return files_paths
+            return matches[0]
+
+        return [one(sub, ses) for sub, ses in self.sub_ses]
 
     def __len__(self):
         return len(self.subjects)

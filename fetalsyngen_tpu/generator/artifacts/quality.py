@@ -135,10 +135,13 @@ class BlurCortex:
         return output * (1 - gaussian) + blurred * gaussian
 
     def __call__(self, output, seg, genparams=None, rng=None, key=None, **kw):
-        genparams = genparams or {}
+        genparams = {k: v for k, v in (genparams or {}).items() if v is not None}  # _validated_genparams parity (reference model.py:85-92)
         rng = rng or np.random.default_rng()
         if rng.random() < self.prob or len(genparams) > 0:
-            nblur = genparams.get("nblur") or int(rng.integers(self.nblur_min, self.nblur_max))
+            # draw-then-override: pinned genparams must not skip rng draws,
+            # or the host stream desynchronizes for later values
+            nblur = int(rng.integers(self.nblur_min, self.nblur_max))
+            nblur = int(genparams.get("nblur", nblur))
             std_blurs = rng.gamma(self.std_blur_shape, self.std_blur_scale, 3)
             sigmas = rng.gamma(self.sigma_gamma_loc, self.sigma_gamma_scale, (self.MAX_BLUR, 3))
             key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
@@ -204,12 +207,12 @@ class StructNoise:
         return noise / jnp.max(jnp.abs(noise))
 
     def __call__(self, output, seg, genparams=None, rng=None, key=None, **kw):
-        genparams = genparams or {}
+        genparams = {k: v for k, v in (genparams or {}).items() if v is not None}  # _validated_genparams parity (reference model.py:85-92)
         rng = rng or np.random.default_rng()
         if rng.random() < self.prob or "nloc" in genparams or "nstages" in genparams:
-            nstages = genparams.get("nstages") or int(
-                rng.integers(self.nstages_min, self.nstages_max)
-            )
+            # draw-then-override (see BlurCortex)
+            nstages = int(rng.integers(self.nstages_min, self.nstages_max))
+            nstages = int(genparams.get("nstages", nstages))
             noise_std = self.std_min + (self.std_max - self.std_min) * rng.random()
             key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
             output = jnp.asarray(output, jnp.float32)
@@ -282,7 +285,7 @@ class SimulatedBoundaries:
         return erode(dilate(jnp.clip(mask + dsamp, 0, 1), 5), 5)
 
     def __call__(self, output, seg, genparams=None, rng=None, key=None, **kw):
-        genparams = genparams or {}
+        genparams = {k: v for k, v in (genparams or {}).items() if v is not None}  # _validated_genparams parity (reference model.py:85-92)
         rng = rng or np.random.default_rng()
         key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
         seg = jnp.asarray(seg)

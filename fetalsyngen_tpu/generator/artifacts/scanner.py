@@ -8,24 +8,46 @@ PSF footprint; the adjoint scatters with atomicAdd + weight equalization.
 
 TPU re-design — no scatter/gather at all. Per stack:
 
-  acquisition:  V --rot warp--> stack frame --PSF blur--> --xy scale (matmul)-->
-                --per-slice motion passes--> slices (+ gamma/Rician/void)
-  reconstruction: slices --inverse motion passes--> stack grid --z PSF blur-->
-                --inverse xy scale--> --inverse rot warp--> accumulate (value,
-                weight) over stacks --> equalize --> smooth --> merge with GT
+  acquisition:  (V, brain mask) --traced rigid pair warp--> stack frame
+                --PSF blur (V only) + xy scale (matmuls)-->
+                --per-slice motion pair passes--> (slices, mask slices)
+                --device validity from mask-slice mass--> (+ gamma/Rician/void)
+  reconstruction: (slices, keep mask) --inverse motion pair passes--> stack
+                grid --recon-PSF blur + inverse xy scale--> --inverse rigid
+                pair warp--> accumulate (value, weight) over stacks -->
+                equalize --> smooth --> merge with GT
 
-Each arrow is a separable matmul or a hat-kernel pass (ops/warp.py), so the
-whole engine runs at VPU/MXU rates. The factored acquisition
-(rotate-blur-sample) is mathematically the reference's PSF model: sampling a
-slice-frame-oriented Gaussian PSF equals sampling the volume rotated into the
-slice frame and blurred axis-aligned.
+Every arrow is a separable MXU matmul or a hat-kernel pass (ops/warp.py).
+The factored acquisition (rotate-blur-sample) is mathematically the
+reference's PSF model: sampling a slice-frame-oriented Gaussian PSF equals
+sampling the volume rotated into the slice frame and blurred axis-aligned.
 
-Known deviations (documented): the slice FOV is a static 384-pixel grid (the
-reference sizes it dynamically to the volume diagonal); slice validity is
-derived from the acquired slices rather than separately-acquired mask slices;
-per-slice motion beyond the pass window (~24 voxels in-block span) clamps.
-Host draws all scalar randomness (matching the reference's np.random use) and
-orchestrates per-stack jitted calls with static shapes.
+Dispatch structure (v2, round 2): each stack is exactly TWO jitted calls
+(`_acquire_stack`, `_recon_stack`), both compiled ONCE — arbitrary stack
+orientations run through a ``lax.switch`` over the 24 cube rotations plus
+traced UL hat passes (``ops.warp.warp_rigid_pair_traced``), and the per-slice
+motion fields are built ON DEVICE from (NS, 3, 4) affine tables (the round-1
+design shipped ~220 MB of host-built fields per stack through the tunnel).
+
+Parity with the reference per-stack loop (``simulate_reco.py:366-440``):
+slice validity comes from PSF-free mask-slice acquisition (``:385-420``),
+zero-valid-slice stacks are redrawn (``:366`` retry), the stack that would
+exceed ``max_num_slices`` is discarded (``:425-430``), and the recon uses the
+distinct ``psf_rec`` (``:338-344``) including its in-plane spread. Standalone
+``Scanner``/``PSFReconstructor`` classes mirror the reference API, including
+``resolution_recon != resolution`` (logical-extent recon grid on the static
+buffer).
+
+Known deviations (documented): the slice FOV is a static ``SS``-pixel grid
+(the reference sizes it to the volume diagonal; SS=384 covers every 256^3
+case since slice res >= volume res); slices are kept padded to ``NS`` with a
+validity mask instead of compacted; merge-weight Gaussian centers use a
+device top-k instead of ``randperm`` (same distribution class).
+
+Replay: all host scalar draws derive from ``rng`` seeded by the artifact key;
+the returned metadata embeds ``rng_key`` so a sample replays voxel-exactly
+from the genparams dict alone (plus explicit pins for resolution_slice /
+slice_thickness / gap, honored like the reference contract).
 """
 
 from __future__ import annotations
@@ -39,13 +61,17 @@ import numpy as np
 
 from ...ops.linops import (
     apply_axis_matrix,
-    gaussian_blur_mm,
     interp_matrix,
     toeplitz_blur_matrix,
 )
 from ...ops.morphology import box_sum
 from ...ops.noise import fractal_noise_3d, mog_3d
-from ...ops.warp import hat_pass, warp_rigid_separable
+from ...ops.warp import (
+    decompose_affine_paeth_host,
+    hat_pass_pair,
+    warp_rigid_pair_traced,
+)
+from .motion import sample_motion
 from .psf import GAUSSIAN_FWHM, SINC_FWHM
 from .quality import ReconMergeParams, masked_random_centers
 from .transforms import (
@@ -55,14 +81,16 @@ from .transforms import (
     random_init_stack_transforms,
     reset_transform,
 )
-from .motion import sample_motion
 
-# Static grid sizes (multiples of 128 for the Pallas passes).
-SS = 384  # slice grid (pixels)
-ZS = 384  # stack-frame z extent (voxels)
+# Static grid sizes (multiples of 128 for the Pallas passes). SS covers the
+# reference's dynamic slice FOV (sqrt(3/2)*256 = 314 at res_s = res) for all
+# supported configs; NS covers ns = max_dim*res/gap_min + 2 for gap >= 1.5mm.
+SS = 384  # slice grid (pixels) == stack-frame cube edge
+ZS = 384  # stack-frame z extent (voxels); kept == SS (cube) for quarter turns
 NS = 128  # max slices per stack
 
 _FLIP = np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], dtype=np.float32)
+_BLUR_HALF = 12  # covers 3 sigma of the largest thickness/res ratio (3.5/0.5)
 
 
 @dataclass
@@ -110,46 +138,72 @@ class ReconParams:
 
 
 # ---------------------------------------------------------------------------
-# jitted per-stack device stages
+# Device helpers (traced; shapes static)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _blur_scale(W, sigmas, scale_m):
-    """PSF blur in the stack frame, then scale xy to slice-pixel spacing."""
-    W = gaussian_blur_mm(W, sigmas, 8)
-    W = apply_axis_matrix(W, scale_m, 1)
-    W = apply_axis_matrix(W, scale_m, 2)
-    return W
+
+def _pad_centered(vol: jnp.ndarray, cube: int) -> jnp.ndarray:
+    """Zero-pad to a centered (cube, cube, cube) buffer."""
+    pads = []
+    for s in vol.shape:
+        lo = (cube - s) // 2
+        pads.append((lo, cube - s - lo))
+    return jnp.pad(vol, pads)
 
 
-@jax.jit
-def _extract_slices(Wv, z_coefs, dz, dv, du):
-    """Sample NS slices from the stack volume with per-slice motion offsets.
+def _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col):
+    """Per-slice deviation fields from the (NS, 3, 4) affine table, on device.
 
-    z positions: affine in the slice index (gap spacing) + per-element motion
-    dz; in-plane: identity + motion (dv, du).
+    G maps slice-local axis coords (0, v*rs, u*rs) -> stack-frame axis coords.
+    Returns (dz, dv, du) with z in stack-voxel units and in-plane deviations
+    on the rs-spaced slice-pixel grid.
     """
-    # pass 1: resample stack-z -> slice index (lanes = z of Wv after transpose)
+    vn = vv_row * rs  # (1, SS, 1) voxel-unit in-plane offsets
+    un = vv_col * rs  # (1, 1, SS)
+
+    def q(a):
+        return (
+            G[:, a, 1][:, None, None] * vn
+            + G[:, a, 2][:, None, None] * un
+            + G[:, a, 3][:, None, None]
+        )
+
+    dz = q(0) - base_z
+    dv = (q(1) - c_ss) / rs - vv_row
+    du = (q(2) - c_ss) / rs - vv_col
+    return dz, dv, du
+
+
+def _extract_pair(Wv, Wm, z_coefs, dz, dv, du, cube, ns_grid):
+    """Sample NS slices from (volume, mask) stack frames with shared motion."""
     x = jnp.transpose(Wv, (1, 2, 0))  # (v, u, z)
-    x = hat_pass(x, z_coefs, jnp.transpose(dz, (1, 2, 0)), (SS, SS, ZS), 48, False, out_len=NS)
-    x = jnp.transpose(x, (2, 0, 1))  # (n, v, u)
-    # pass 2: in-plane v
-    x = jnp.transpose(x, (0, 2, 1))  # (n, u, v)
-    x = hat_pass(x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dv, (0, 2, 1)), (NS, SS, SS), 48, False)
-    x = jnp.transpose(x, (0, 2, 1))  # (n, v, u)
-    # pass 3: in-plane u
-    x = hat_pass(x, (0.0, 0.0, 1.0, 0.0), du, (NS, SS, SS), 48, False)
-    return x
+    m = jnp.transpose(Wm, (1, 2, 0))
+    x, m = hat_pass_pair(
+        x, m, z_coefs, jnp.transpose(dz, (1, 2, 0)), (cube, cube, cube), 48,
+        out_len=ns_grid, modes=(False, False),
+    )
+    x, m = jnp.transpose(x, (2, 0, 1)), jnp.transpose(m, (2, 0, 1))  # (n, v, u)
+    x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
+    x, m = hat_pass_pair(
+        x, m, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dv, (0, 2, 1)),
+        (ns_grid, cube, cube), 48, modes=(False, False),
+    )
+    x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
+    x, m = hat_pass_pair(
+        x, m, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48,
+        modes=(False, False),
+    )
+    return x, m
 
 
-@jax.jit
-def _slice_artifacts(key, slices, gamma, gamma_on, sigma, void_prob, threshold):
+def _slice_artifacts(key, slices, valid, gamma, gamma_on, sigma, void_prob, threshold):
     """Per-slice gamma, Rician noise, and signal voids
-    (reference ``simulate_reco.py:210-298``)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    # gamma (simulate_reco.py:210-234)
+    (reference ``simulate_reco.py:210-298``), over the VALID slices."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    vmask = valid[:, None, None]
+    # gamma (simulate_reco.py:210-234): normalization max over kept slices
     g = 300.0 * jnp.power(jnp.maximum(slices, 0.0) / 300.0, gamma)
-    g = g / jnp.maximum(jnp.max(g), 1e-6)
+    g = g / jnp.maximum(jnp.max(g * vmask), 1e-6)
     slices = jnp.where(gamma_on, g, slices)
     # Rician noise over voxels above threshold (simulate_reco.py:236-256)
     n1 = jax.random.normal(k1, slices.shape) * sigma
@@ -159,7 +213,7 @@ def _slice_artifacts(key, slices, gamma, gamma_on, sigma, void_prob, threshold):
     # signal voids (simulate_reco.py:258-298)
     n = slices.shape[0]
     on = jax.random.uniform(k3, (n, 1, 1)) < void_prob
-    h = w = SS
+    h = w = slices.shape[1]
     y = jnp.linspace(-(h - 1) / 2, (h - 1) / 2, h)[None, :, None]
     x = jnp.linspace(-(w - 1) / 2, (w - 1) / 2, w)[None, None, :]
     ku = jax.random.uniform(k4, (6, n, 1, 1))
@@ -176,47 +230,179 @@ def _slice_artifacts(key, slices, gamma, gamma_on, sigma, void_prob, threshold):
     return jnp.where(on, slices * mask, slices)
 
 
-@jax.jit
-def _recon_place(slices, slice_valid, n_coefs, dzi, dvi, dui, inv_scale_m, sigz_mats):
-    """Place slices back on the stack-frame grid; returns (value, weight)."""
+@partial(jax.jit, static_argnames=("cube", "ns_grid"))
+def _acquire_stack(
+    vol,
+    mask,
+    q_idx,
+    angles,
+    wscale,
+    wdelta,
+    G,
+    rs,
+    gap_vox,
+    z0,
+    sig,
+    thr_frac,
+    ns_count,
+    key,
+    gamma,
+    gamma_on,
+    sigma,
+    void_prob,
+    threshold,
+    cube: int,
+    ns_grid: int,
+):
+    """One stack's acquisition — a single XLA program.
 
-    def chain(x):
-        # inverse motion passes: stack grid samples the slice stack
-        y = jnp.transpose(x, (1, 2, 0))  # (v, u, n)
-        y = hat_pass(y, n_coefs, jnp.transpose(dzi, (1, 2, 0)), (SS, SS, NS), 48, False, out_len=ZS)
-        y = jnp.transpose(y, (2, 0, 1))  # (z, v, u)
-        y = jnp.transpose(y, (0, 2, 1))
-        y = hat_pass(y, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dvi, (0, 2, 1)), (ZS, SS, SS), 48, False)
-        y = jnp.transpose(y, (0, 2, 1))
-        y = hat_pass(y, (0.0, 0.0, 1.0, 0.0), dui, (ZS, SS, SS), 48, False)
-        # recon PSF spread along z
-        y = apply_axis_matrix(y, sigz_mats, 0)
-        # inverse xy scale back to voxel spacing
+    Returns (slices (NS, SS, SS), valid (NS,) f32). Mirrors the reference
+    stack-loop body (``simulate_reco.py:366-424``).
+    """
+    vol_p = _pad_centered(vol, cube)
+    mask_p = _pad_centered(mask, cube)
+    Wv, Wm = warp_rigid_pair_traced(
+        vol_p, mask_p, q_idx, angles, wscale, wdelta, modes=(False, False)
+    )
+
+    # acquisition PSF blur (volume only; mask slices are PSF-free,
+    # simulate_reco.py:399-407) + xy scale to slice-pixel spacing
+    c_ss = (cube - 1) / 2.0
+    lanes = jnp.arange(cube, dtype=jnp.float32)
+    scale_m = interp_matrix((lanes - c_ss) * rs + c_ss, cube)
+    for axis, s in enumerate(sig):
+        Wv = apply_axis_matrix(Wv, toeplitz_blur_matrix(s, cube, _BLUR_HALF), axis)
+    Wv = apply_axis_matrix(apply_axis_matrix(Wv, scale_m, 1), scale_m, 2)
+    Wm = apply_axis_matrix(apply_axis_matrix(Wm, scale_m, 1), scale_m, 2)
+
+    vv_row = (lanes - c_ss)[None, :, None]
+    vv_col = (lanes - c_ss)[None, None, :]
+    nidx = jnp.arange(ns_grid, dtype=jnp.float32)
+    base_z = z0 + nidx[:, None, None] * gap_vox
+    dz, dv, du = _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col)
+    z_coefs = (0.0, 0.0, gap_vox, z0)
+
+    slices, mslices = _extract_pair(Wv, Wm, z_coefs, dz, dv, du, cube, ns_grid)
+
+    # validity from the PSF-free mask-slice mass (simulate_reco.py:408-420)
+    arange_n = jnp.arange(ns_grid)
+    nnz = jnp.sum(mslices, (1, 2)) * (arange_n < ns_count)
+    thr = jnp.max(nnz) * thr_frac
+    valid = nnz > thr
+    first = jnp.min(jnp.where(valid, arange_n, ns_grid))
+    last = jnp.max(jnp.where(valid, arange_n, -1))
+    valid = (arange_n >= first) & (arange_n <= last) & (arange_n < ns_count)
+    valid_f = valid.astype(jnp.float32)
+
+    slices = _slice_artifacts(
+        key, slices, valid_f, gamma, gamma_on, sigma, void_prob, threshold
+    )
+    return slices, valid_f
+
+
+@partial(jax.jit, static_argnames=("cube", "ns_grid", "out_shape"))
+def _recon_stack(
+    slices,
+    keep_f,
+    Grec,
+    rs,
+    gap_vox,
+    z0,
+    sig_rec,
+    qinv_idx,
+    inv_angles,
+    inv_scale,
+    inv_delta,
+    cube: int,
+    ns_grid: int,
+    out_shape: tuple,
+):
+    """One stack's reconstruction placement — a single XLA program.
+
+    Returns (value, weight) on the recon grid (``out_shape`` corner of the
+    static buffer). Mirrors ``PSFreconstruction``/adjoint placement
+    (``simulate_reco.py:38-54, 769``) with the recon PSF spread.
+    """
+    c_ss = (cube - 1) / 2.0
+    lanes = jnp.arange(cube, dtype=jnp.float32)
+    vv_row = (lanes - c_ss)[None, :, None]
+    vv_col = (lanes - c_ss)[None, None, :]
+    nidx = jnp.arange(ns_grid, dtype=jnp.float32)
+    base_z = z0 + nidx[:, None, None] * gap_vox
+    dz_r, dv_r, du_r = _slice_fields(Grec, rs, c_ss, base_z, vv_row, vv_col)
+
+    # first-order inverse deviations, resampled from slice index onto stack z
+    n_of_z = (lanes - z0) / gap_vox
+    Mn2z = interp_matrix(n_of_z, ns_grid)  # (cube, ns_grid)
+    dzi = apply_axis_matrix(-dz_r / gap_vox, Mn2z, 0)
+    dvi = apply_axis_matrix(-dv_r, Mn2z, 0)
+    dui = apply_axis_matrix(-du_r, Mn2z, 0)
+    n_coefs = (0.0, 0.0, 1.0 / gap_vox, -z0 / gap_vox)
+
+    inv_scale_m = interp_matrix((lanes - c_ss) / rs + c_ss, cube)
+    sigz_m = toeplitz_blur_matrix(sig_rec[0], cube, _BLUR_HALF)
+    sigxy_m = toeplitz_blur_matrix(sig_rec[1], cube, _BLUR_HALF)
+
+    masked = slices * keep_f[:, None, None]
+    wslices = jnp.broadcast_to(keep_f[:, None, None], slices.shape).astype(jnp.float32)
+
+    # inverse motion passes (value, weight share every window)
+    x, w = jnp.transpose(masked, (1, 2, 0)), jnp.transpose(wslices, (1, 2, 0))
+    x, w = hat_pass_pair(
+        x, w, n_coefs, jnp.transpose(dzi, (1, 2, 0)), (cube, cube, ns_grid), 48,
+        out_len=cube, modes=(False, False),
+    )
+    x, w = jnp.transpose(x, (2, 0, 1)), jnp.transpose(w, (2, 0, 1))  # (z, v, u)
+    x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))
+    x, w = hat_pass_pair(
+        x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dvi, (0, 2, 1)),
+        (cube, cube, cube), 48, modes=(False, False),
+    )
+    x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))
+    x, w = hat_pass_pair(
+        x, w, (0.0, 0.0, 1.0, 0.0), dui, (cube, cube, cube), 48, modes=(False, False)
+    )
+
+    def spread(y):
+        # recon PSF (simulate_reco.py:338-344): z thickness + in-plane sinc
+        y = apply_axis_matrix(y, sigz_m, 0)
+        y = apply_axis_matrix(y, sigxy_m, 1)
+        y = apply_axis_matrix(y, sigxy_m, 2)
+        # inverse xy scale back to recon-voxel spacing
         y = apply_axis_matrix(y, inv_scale_m, 1)
         y = apply_axis_matrix(y, inv_scale_m, 2)
         return y
 
-    masked = slices * slice_valid[:, None, None]
-    wvol = chain(jnp.broadcast_to(slice_valid[:, None, None], slices.shape).astype(jnp.float32))
-    vvol = chain(masked)
-    return vvol, wvol
+    x, w = spread(x), spread(w)
+    v_s, w_s = warp_rigid_pair_traced(
+        x, w, qinv_idx, inv_angles, inv_scale, inv_delta, out_shape=out_shape,
+        modes=(False, False),
+    )
+    return v_s, w_s
 
 
 @jax.jit
-def _finalize(value, weight, volume_gt, seg_gt, key, smooth_on, merge_on, merge_weight):
+def _finalize(value, weight, volume_gt, smooth_on, merge_on, merge_weight):
     """Equalize, optional box smooth, merge with GT
     (``simulate_reco.py:584-709``)."""
     ok = weight > 1e-2
     recon = jnp.where(ok, value / jnp.where(ok, weight, 1.0), 0.0)
     smoothed = box_sum(recon, 3) / 27.0
     recon = jnp.where(smooth_on, smoothed, recon)
-    merged = jnp.where(merge_on, merge_weight * recon + (1 - merge_weight) * volume_gt, recon)
-    return merged
+    return jnp.where(merge_on, merge_weight * recon + (1 - merge_weight) * volume_gt, recon)
 
 
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
+
+
+def _key_words(key) -> np.ndarray:
+    """Raw uint32 words of a PRNG key (typed or legacy)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(key))
+    return np.asarray(key)
+
 
 def _axis_affine(R_xyz: np.ndarray, t_xyz: np.ndarray, in_center, out_center):
     """xyz-space rigid (x fastest) -> axis-space affine mapping output grid
@@ -226,171 +412,331 @@ def _axis_affine(R_xyz: np.ndarray, t_xyz: np.ndarray, in_center, out_center):
     return M.astype(np.float32), t.astype(np.float32)
 
 
-class SimulateMotion:
-    """Reference-parity motion artifact (``artifacts.py:345-425``)."""
+def _stack_geometry(Rb, mats_vox, shape, ns):
+    """Host geometry for one stack: frame map, traced-warp split, slice table.
 
-    def __init__(self, prob: float, scanner_params: ScannerParams, recon_params: ReconParams):
-        self.prob = prob
-        self.scanner_args = scanner_params
-        self.recon_args = recon_params
+    ``Rb``: the stack-init rotation (xyz space); ``mats_vox``: per-slice
+    trans-first rigids with voxel-unit translations.
+    """
+    c_vol = (np.asarray(shape) - 1) / 2.0
+    c_stack = np.full(3, (SS - 1) / 2.0)
+    M = _FLIP @ Rb @ _FLIP
+    t_stack = c_vol - M @ c_stack
+    # fwd map on the zero-PADDED cube: p_pad = M q + t_stack + off
+    off = np.array([(SS - s) // 2 for s in shape], np.float64)
+    fwd = decompose_affine_paeth_host(M, t_stack + off, SS)
+    Minv_np = np.linalg.inv(M)
+    G = _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns)
+    return dict(M=M, t_stack=t_stack, Minv=Minv_np, G=G, fwd=fwd)
 
-    def __call__(self, output, seg, genparams=None, resolution=(0.5, 0.5, 0.5), rng=None, key=None, **kw):
+
+def _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns):
+    """(NS, 3, 4) axis-space affines: slice-local coords -> stack frame."""
+    G = np.zeros((NS, 3, 4), np.float32)
+    for n in range(NS):
+        nn = min(n, ns - 1)
+        Rn = mats_vox[nn, :, :3]
+        tn = mats_vox[nn, :, 3]
+        Ma, ta = _axis_affine(Rn, Rn @ tn, c_vol, np.zeros(3))
+        G[n, :, :3] = Minv_np @ Ma
+        G[n, :, 3] = Minv_np @ (ta - t_stack)
+    return G
+
+
+def _gt_to_recon(vol, seg, res: float, res_r: float):
+    """Resample (volume, seg) to the recon grid (simulate_reco.py:319-333):
+    center-aligned spacing ``res_r``, stored in the ``extent`` corner of the
+    same static buffer (zeros beyond). Linear for the volume, nearest for seg.
+    """
+    from ...ops.linops import apply_separable
+
+    shape = vol.shape
+    scale = res_r / res
+    Ms_lin, Ms_nst, extent = [], [], []
+    for s in shape:
+        nr = max(int(s * res / res_r), 1)
+        extent.append(nr)
+        c_rec = (nr - 1) / 2.0
+        c_v = (s - 1) / 2.0
+        coords = jnp.asarray(c_v + (np.arange(s) - c_rec) * scale, jnp.float32)
+        Ms_lin.append(interp_matrix(coords, s, out_valid=nr))
+        idx = jnp.clip(jnp.round(coords), 0, s - 1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+        Ms_nst.append((cols == idx[:, None]).astype(jnp.float32) * (rows < nr))
+    return (
+        apply_separable(vol, tuple(Ms_lin)),
+        apply_separable(seg, tuple(Ms_nst)),
+        tuple(extent),
+    )
+
+
+class Scanner:
+    """Reference-parity scanner (``simulate_reco.py:57-466``).
+
+    ``scan(data, genparams)`` simulates multi-stack slice acquisition from
+    ``data`` = {volume, mask, seg, resolution[, resolution_recon]} and returns
+    the data dict extended with device slice stacks, validity masks, and the
+    host-side transform state the reconstructor needs.
+    """
+
+    def __init__(self, params: ScannerParams | None = None, **kw):
+        self.p = params if params is not None else ScannerParams(**kw)
+
+    def get_resolution(self, data, rng, genparams=None):
+        """Sample res_slice / thickness / gap (``simulate_reco.py:142-191``);
+        genparams entries pin the draws."""
         genparams = genparams or {}
-        rng = rng or np.random.default_rng()
-        if rng.random() >= self.prob and not genparams:
-            return output, {}
-        key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
-
-        sp = self.scanner_args
-        rp = self.recon_args
-        res = float(resolution[0])
-        vol = jnp.asarray(output, jnp.float32)
-        shape = vol.shape
-
-        # --- resolutions (simulate_reco.py:142-191; res_recon = res here,
-        # matching SimulateMotion.__call__ which pins resolution_recon = res)
+        sp = self.p
+        res = float(data["resolution"])
+        # draw-then-override: pinned genparams must not skip rng draws, or
+        # the host stream desynchronizes for every later value (breaking
+        # rng_key replay)
         res_s = float(
-            genparams.get("resolution_slice")
-            or rng.uniform(
-                max(sp.resolution_slice_fac_min * res, res),  # clamp: slices >= volume res
+            rng.uniform(
+                max(sp.resolution_slice_fac_min * res, res),
                 min(sp.resolution_slice_fac_max * res, sp.resolution_slice_max),
             )
         )
-        s_thick = float(genparams.get("slice_thickness") or rng.uniform(sp.slice_thickness_min, sp.slice_thickness_max))
-        gap = float(genparams.get("gap") or rng.uniform(sp.gap_min, sp.gap_max))
+        res_s = float(genparams.get("resolution_slice", res_s))
+        s_thick = float(rng.uniform(sp.slice_thickness_min, sp.slice_thickness_max))
+        s_thick = float(genparams.get("slice_thickness", s_thick))
+        gap = float(rng.uniform(sp.gap_min, sp.gap_max))
+        gap = float(genparams.get("gap", gap))
+        res_r = float(sp.resolution_recon if sp.resolution_recon is not None else res)
+        data.update(
+            resolution_slice=res_s, slice_thickness=s_thick, gap=gap, resolution_recon=res_r
+        )
+        return data
+
+    def scan(self, data: dict, genparams: dict | None = None, rng=None, key=None):
+        genparams = genparams or {}
+        rng = rng or np.random.default_rng()
+        key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
+        sp = self.p
+
+        data = self.get_resolution(data, rng, genparams)
+        res = float(data["resolution"])
+        res_r = data["resolution_recon"]
+        res_s = data["resolution_slice"]
+        s_thick = data["slice_thickness"]
+        gap = data["gap"]
+
+        vol = jnp.asarray(data["volume"], jnp.float32)
+        mask = jnp.asarray(data["mask"], jnp.float32)
+        shape = vol.shape
+
+        # GT at recon resolution (simulate_reco.py:319-333): logical-extent
+        # corner of the same static buffer when res_r != res.
+        if res_r != res:
+            volume_gt, seg_gt, recon_extent = _gt_to_recon(
+                vol, jnp.asarray(data["seg"], jnp.float32), res, res_r
+            )
+        else:
+            volume_gt, seg_gt = vol, jnp.asarray(data["seg"], jnp.float32)
+            recon_extent = shape
+        data["volume_gt"] = volume_gt
+        data["seg_gt"] = seg_gt
+        data["recon_extent"] = tuple(int(x) for x in recon_extent)
+
         rs = res_s / res
         gap_vox = gap / res
-
-        num_stacks = int(rng.integers(sp.min_num_stack, sp.max_num_stack + 1))
         ns = min(int(max(shape) * res / gap) + 2, NS)
+        num_stacks = int(rng.integers(sp.min_num_stack, sp.max_num_stack + 1))
 
-        # PSF sigmas in stack-frame voxel units (acquisition PSF,
-        # simulate_reco.py:338): (z, y, x) = (thick, res_s, res_s)/res
+        # acquisition PSF sigmas in stack-frame voxel units (z, y, x)
         sig = jnp.asarray(
             [GAUSSIAN_FWHM * s_thick / res, SINC_FWHM * rs, SINC_FWHM * rs], jnp.float32
         )
-        # xy scale matrices: slice-pixel grid at rs spacing (centered)
-        c_ss = (SS - 1) / 2.0
-        coords = jnp.asarray((np.arange(SS) - c_ss) * rs + c_ss, jnp.float32)
-        scale_m = interp_matrix(coords, SS)
-        inv_coords = jnp.asarray((np.arange(SS) - c_ss) / rs + c_ss, jnp.float32)
-        inv_scale_m = interp_matrix(inv_coords, SS)
-        # recon z-PSF spread (sigma_z at res_r = res)
-        sigz_m = toeplitz_blur_matrix(jnp.float32(GAUSSIAN_FWHM * s_thick / res), ZS, 8)
-
         c_vol = (np.asarray(shape) - 1) / 2.0
-        c_stack = np.array([(ZS - 1) / 2.0, (SS - 1) / 2.0, (SS - 1) / 2.0])
+        c_stack = np.full(3, (SS - 1) / 2.0)
+        z0 = float(c_stack[0] - (ns - 1) / 2.0 * gap_vox)
 
-        value_acc = jnp.zeros(shape, jnp.float32)
-        weight_acc = jnp.zeros(shape, jnp.float32)
+        stacks = []  # list of per-stack dicts
         total_slices = 0
-        misreg_stack_on = []
-
-        for s_i in range(num_stacks):
-            skey = jax.random.fold_in(key, 100 + s_i)
-            # --- stack transforms (host)
-            t_init = random_init_stack_transforms(ns, gap_vox * res, sp.restrict_transform, sp.txy, rng)
+        attempts = 0
+        while True:
+            attempts += 1
+            if attempts > 50 * sp.max_num_stack:  # safety valve on the retry loop
+                break
+            t_init = random_init_stack_transforms(
+                ns, gap_vox * res, sp.restrict_transform, sp.txy, rng
+            )
             ts = np.arange(ns) * rng.uniform(sp.TR_min, sp.TR_max)
             t_motion = sample_motion(ts, rng)
             ilv = interleave_index(ns, int(rng.integers(2, int(np.sqrt(ns)) + 1)))
             t_motion = t_motion[np.asarray(ilv)]
             t_target = t_motion.compose(t_init)
-            mats = t_target.matrix(True)  # (ns, 3, 4), translations in mm
-            mats_vox = mats.copy()
-            mats_vox[:, :, 3] /= res  # mm -> voxel units
+            mats_vox = t_target.matrix(True).copy()
+            mats_vox[:, :, 3] /= res
 
-            # stack base = rotation of the init transform
-            Rb = t_init.matrix(True)[0, :, :3]
-            M = _FLIP @ Rb @ _FLIP  # axis-space rotation
-            t = c_vol - M @ c_stack
+            geo = _stack_geometry(t_init.matrix(True)[0, :, :3], mats_vox, shape, ns)
+            M, t_stack, Minv_np, G = geo["M"], geo["t_stack"], geo["Minv"], geo["G"]
+            q_idx, w_ang, w_scl, w_dlt = geo["fwd"]
 
-            Wv = warp_rigid_separable(vol, M, np.zeros(3), out_shape=(ZS, SS, SS))
-            Wv = _blur_scale(Wv, sig, scale_m)
-
-            # --- per-slice maps: slice n pixel (v, u) -> stack-frame coords.
-            # q_n = A_w^{-1} (R_n (p + t_n)) with A_w the stack-frame map.
-            Minv_np = np.linalg.inv(M)
-            G = np.zeros((NS, 3, 4), np.float32)  # axis-space affine per slice
-            for n in range(NS):
-                nn = min(n, ns - 1)
-                Rn = mats_vox[nn, :, :3]
-                tn = mats_vox[nn, :, 3]
-                Ma, ta = _axis_affine(Rn, Rn @ tn, c_vol, np.zeros(3))
-                # compose with inverse stack map: q = Minv (p - t)
-                G[n, :, :3] = Minv_np @ Ma
-                G[n, :, 3] = Minv_np @ (ta - t)
-            # base (no-motion) map: z = cz + (n - (ns-1)/2) * gap_vox;
-            # in-plane: u,v scaled grid == identity in slice-pixel space
-            z0 = c_stack[0] - (ns - 1) / 2.0 * gap_vox
-            nidx = np.arange(NS, dtype=np.float32)
-            vv = (np.arange(SS, dtype=np.float32) - c_ss)
-            # slice-pixel xyz in slice frame (u,v at rs spacing, z=0)
-            # per-slice deviation fields (NS, SS, SS), axis order (n, v, u)
-            un = vv[None, None, :] * rs  # slice-local xyz in VOXEL units
-            vn = vv[None, :, None] * rs
-            base_z = z0 + nidx[:, None, None] * gap_vox
-            # G maps slice-LOCAL xyz (axis order z,v,u with z==0 plane):
-            # q_axis = G[:, :3] @ (0, vn, un)_axis? p_uv axis = (0, v*rs, u*rs)
-            p0 = np.zeros((NS, 1, 1), np.float32)
-            qz = (
-                G[:, 0, 1][:, None, None] * vn
-                + G[:, 0, 2][:, None, None] * un
-                + G[:, 0, 3][:, None, None]
-                + p0
-            )
-            qv = (
-                G[:, 1, 1][:, None, None] * vn
-                + G[:, 1, 2][:, None, None] * un
-                + G[:, 1, 3][:, None, None]
-                + p0
-            )
-            qu = (
-                G[:, 2, 1][:, None, None] * vn
-                + G[:, 2, 2][:, None, None] * un
-                + G[:, 2, 3][:, None, None]
-                + p0
-            )
-            # deviations: z in voxel units; in-plane converted to the SCALED
-            # grid (xy spacing rs): grid coord = c + (q_vox - c)/rs, identity
-            # base = c + pixel offset.
-            dz = jnp.asarray(qz - base_z, jnp.float32)
-            dv = jnp.asarray((qv - c_stack[1]) / rs - vv[None, :, None], jnp.float32)
-            du = jnp.asarray((qu - c_stack[2]) / rs - vv[None, None, :], jnp.float32)
-            z_coefs = (0.0, 0.0, float(gap_vox), float(z0))
-
-            slices = _extract_slices(Wv, z_coefs, dz, dv, du)
-
-            # --- slice validity (reference drops near-empty slices,
-            # simulate_reco.py:408-420) — derived from acquired energy here.
-            nnz = np.array(jnp.sum(jnp.abs(slices) > 0.05 * jnp.max(slices), (1, 2)))
-            nnz[ns:] = 0
-            thr = nnz.max() * rng.uniform(0.1, 0.3)
-            valid = nnz > thr
-            if valid.any():
-                nzidx = np.nonzero(valid)[0]
-                valid[nzidx[0] : nzidx[-1]] = True
-            valid_f = jnp.asarray(valid.astype(np.float32))
-
-            # --- per-slice artifacts
             gamma_on = rng.random() < sp.prob_gamma
             gamma = float(np.exp(sp.gamma_std * rng.standard_normal()))
-            sigma = rng.uniform(sp.noise_sigma_min, sp.noise_sigma_max)
-            slices = _slice_artifacts(
-                jax.random.fold_in(skey, 1),
-                slices,
+            sigma = float(rng.uniform(sp.noise_sigma_min, sp.noise_sigma_max))
+            thr_frac = float(rng.uniform(0.1, 0.3))
+            skey = jax.random.fold_in(key, 100 + attempts)
+
+            slices, valid_f = _acquire_stack(
+                vol,
+                mask,
+                jnp.int32(q_idx),
+                jnp.asarray(w_ang),
+                jnp.float32(w_scl),
+                jnp.asarray(w_dlt),
+                jnp.asarray(G),
+                jnp.float32(rs),
+                jnp.float32(gap_vox),
+                jnp.float32(z0),
+                sig,
+                jnp.float32(thr_frac),
+                jnp.int32(ns),
+                skey,
                 jnp.float32(gamma),
                 jnp.asarray(gamma_on),
                 jnp.float32(sigma),
                 jnp.float32(sp.prob_void),
                 jnp.float32(sp.slice_noise_threshold),
+                cube=SS,
+                ns_grid=NS,
             )
+            valid = np.asarray(valid_f) > 0
+            nvalid = int(valid.sum())
+            if nvalid == 0:
+                continue  # reference retry (simulate_reco.py:410-415)
+            if (
+                sp.max_num_slices is not None
+                and total_slices + nvalid >= sp.max_num_slices
+            ):
+                break  # overflowing stack discarded (simulate_reco.py:425-430)
+            stacks.append(
+                dict(
+                    slices=slices,
+                    valid=valid,
+                    mats_vox=mats_vox,
+                    t_init=t_init,
+                    M=M,
+                    Minv=Minv_np,
+                    t_stack=t_stack,
+                    ns=ns,
+                )
+            )
+            total_slices += nvalid
+            if len(stacks) >= num_stacks:
+                break
 
-            # --- reconstruction transforms (misregistration; reference
-            # simulate_reco.py:597-647). GT transforms with optional per-stack
-            # offset and a single swapped slice.
-            mats_rec = mats_vox.copy()
-            misreg_stack = rng.random() < rp.prob_misreg_stack
-            misreg_stack_on.append(bool(misreg_stack))
+        data.update(
+            stacks=stacks,
+            total_slices=total_slices,
+            rs=rs,
+            gap_vox=gap_vox,
+            z0=z0,
+            ns=ns,
+            c_vol=c_vol,
+            c_stack=c_stack,
+            shape=tuple(shape),
+            key=key,
+        )
+        return data
+
+
+class PSFReconstructor:
+    """Reference-parity PSF reconstructor (``simulate_reco.py:469-774``)."""
+
+    def __init__(self, params: ReconParams | None = None, **kw):
+        self.p = params if params is not None else ReconParams(**kw)
+        self._seeds: dict = {}
+
+    def sample_seeds(self, rng, genparams=None):
+        """(``simulate_reco.py:523-560``) — genparams entries pin the draws."""
+        genparams = genparams or {}
+        rp = self.p
+        s: dict = {}
+        s["smooth_volume_on"] = bool(rng.random() < rp.prob_smooth)
+        s["rm_slices_on"] = bool(rng.random() < rp.prob_rm_slices)
+        s["misreg_slice_on"] = bool(rng.random() < rp.prob_misreg_slice)
+        # draw-then-override throughout: pinned genparams must not skip rng
+        # draws or the host stream desynchronizes (breaking rng_key replay)
+        ratio = (
+            float(rng.uniform(rp.rm_slices_min, rp.rm_slices_max))
+            if s["rm_slices_on"]
+            else None
+        )
+        if genparams.get("rm_slices_ratio") is not None:
+            ratio = float(genparams["rm_slices_ratio"])
+        s["rm_slices_ratio"] = ratio
+        s["misreg_stack_on"] = []
+        s["merge_volume_on"] = bool(rng.random() < rp.prob_merge)
+        mp = rp.merge_params
+        if mp.merge_type == "gaussian":
+            s["merge_type"] = "gaussian"
+            ng = int(rng.integers(mp.gauss_ngaussians_min, mp.gauss_ngaussians_max))
+            s["ngaussians_merge"] = int(genparams.get("ngaussians_merge", ng))
+        else:
+            s["merge_type"] = "perlin"
+            pres = int(rng.choice(mp.perlin_res_list))
+            octv = int(rng.choice(mp.perlin_octaves_list))
+            s["res"] = int(genparams.get("res", pres))
+            s["octave"] = int(genparams.get("octave", octv))
+        self._seeds = s
+        return s
+
+    def get_seeds(self) -> dict:
+        return dict(self._seeds)
+
+    def recon_psf(self, data: dict, genparams: dict | None = None, rng=None):
+        rng = rng or np.random.default_rng()
+        rp = self.p
+        s = self.sample_seeds(rng, genparams)
+        key = data["key"]
+        res = float(data["resolution"])
+        res_r = data["resolution_recon"]
+        res_s = data["resolution_slice"]
+        s_thick = data["slice_thickness"]
+        shape = data["shape"]
+        c_vol = data["c_vol"]
+        c_stack = data["c_stack"]
+        stacks = data["stacks"]
+
+        # recon PSF sigmas at recon-voxel units (simulate_reco.py:338-344)
+        sig_rec = jnp.asarray(
+            [GAUSSIAN_FWHM * s_thick / res_r, SINC_FWHM * res_s / res_r], jnp.float32
+        )
+
+        # global random slice removal across all valid slices
+        # (kept_slices_idx, simulate_reco.py:711-728)
+        valid_flat = np.concatenate([st["valid"] for st in stacks]) if stacks else np.zeros(0, bool)
+        keep_flat = valid_flat.copy()
+        if s["rm_slices_on"] and s["rm_slices_ratio"] is not None and valid_flat.any():
+            vidx = np.nonzero(valid_flat)[0]
+            n_rm = int(len(vidx) * s["rm_slices_ratio"])
+            keep_flat[rng.permutation(vidx)[:n_rm]] = False
+
+        # one misregistered slice (misregister_slices, simulate_reco.py:629-647)
+        misreg_slice_global = -1
+        if s["misreg_slice_on"] and valid_flat.any():
+            vidx = np.nonzero(valid_flat)[0]
+            n_mis = max(int(rp.slices_misreg_ratio * len(vidx)), 0)
+            cand = rng.permutation(vidx)[:n_mis][:1]  # reference keeps [:1]
+            if len(cand):
+                misreg_slice_global = int(cand[0])
+
+        value_acc = jnp.zeros(shape, jnp.float32)
+        weight_acc = jnp.zeros(shape, jnp.float32)
+        offset = 0
+        for st in stacks:
+            ns = st["ns"]
+            mats_rec = st["mats_vox"].copy()
+            # slice swap first (reference order), then per-stack offset
+            j = misreg_slice_global - offset
+            if 0 <= j < NS:
+                mats_rec[j] = reset_transform(st["t_init"])[min(j, ns - 1)].matrix(True)[0]
+                mats_rec[j, :, 3] /= res
+            misreg_stack = bool(rng.random() < rp.prob_misreg_stack)
+            s["misreg_stack_on"].append(misreg_stack)
             if misreg_stack:
                 off = RigidTransform(
                     np.concatenate(
@@ -409,114 +755,136 @@ class SimulateMotion:
                     ).astype(np.float32)
                 )
                 mats_rec[:ns] = off.compose(RigidTransform(mats_rec[:ns])).matrix(True)
-            if rng.random() < rp.prob_misreg_slice and ns > 0:
-                # swap one slice's transform with its init (reference keeps
-                # idx_misreg[:1], simulate_reco.py:644)
-                j = int(rng.integers(ns))
-                mats_rec[j] = reset_transform(t_init)[min(j, ns - 1)].matrix(True)[0]
-                mats_rec[j, :, 3] /= res
 
-            # removed slices (simulate_reco.py:711-728)
-            keep = valid.copy()
-            if rng.random() < rp.prob_rm_slices:
-                ratio = rng.uniform(rp.rm_slices_min, rp.rm_slices_max)
-                drop = rng.permutation(NS)[: int(NS * ratio)]
-                keep[drop] = False
+            Grec = _slice_affine_table(mats_rec, st["Minv"], st["t_stack"], c_vol, ns)
+            keep = keep_flat[offset : offset + NS]
+            offset += NS
 
-            # inverse per-slice maps for recon placement: stack-grid -> slice idx
-            Grec = np.zeros((NS, 3, 4), np.float32)
-            for n in range(NS):
-                nn = min(n, ns - 1)
-                Rn = mats_rec[nn, :, :3]
-                tn = mats_rec[nn, :, 3]
-                Ma, ta = _axis_affine(Rn, Rn @ tn, c_vol, np.zeros(3))
-                Grec[n, :, :3] = Minv_np @ Ma
-                Grec[n, :, 3] = Minv_np @ (ta - t)
-            def slice_fields(Gm):
-                q = [
-                    Gm[:, a, 1][:, None, None] * vn
-                    + Gm[:, a, 2][:, None, None] * un
-                    + Gm[:, a, 3][:, None, None]
-                    + p0
-                    for a in range(3)
-                ]
-                return q
+            # inverse stack map placing the stack frame on the recon grid:
+            # recon index i sits at volume coordinate c_vol + (i - c_rec)*scale
+            # (center-aligned, matching the reference's grid_sample resample),
+            # and p_stack = Minv (q_vol - t_stack).
+            scale = res_r / res
+            extent = data["recon_extent"]
+            c_rec = (np.asarray(extent, np.float64) - 1) / 2.0
+            A_full = st["Minv"] * scale
+            t_full = st["Minv"] @ (c_vol - scale * c_rec - st["t_stack"])
+            qinv_idx, i_ang, i_scl, i_dlt = decompose_affine_paeth_host(A_full, t_full, SS)
 
-            qz_r, qv_r, qu_r = slice_fields(Grec)
-            # first-order inverse deviations, defined per slice then
-            # resampled onto the stack z-grid at n(z) = (z - z0)/gap
-            dzi_n = jnp.asarray(-(qz_r - base_z) / gap_vox, jnp.float32)
-            dvi_n = jnp.asarray(-((qv_r - c_stack[1]) / rs - vv[None, :, None]), jnp.float32)
-            dui_n = jnp.asarray(-((qu_r - c_stack[2]) / rs - vv[None, None, :]), jnp.float32)
-            n_of_z = jnp.asarray((np.arange(ZS) - z0) / gap_vox, jnp.float32)
-            Mn2z = interp_matrix(n_of_z, NS)  # (ZS, NS)
-            dzi = apply_axis_matrix(dzi_n, Mn2z, 0)
-            dvi = apply_axis_matrix(dvi_n, Mn2z, 0)
-            dui = apply_axis_matrix(dui_n, Mn2z, 0)
-            n_coefs = (0.0, 0.0, float(1.0 / gap_vox), float(-z0 / gap_vox))
-
-            v_stack, w_stack = _recon_place(
-                slices,
-                valid_f * jnp.asarray(keep.astype(np.float32)),
-                n_coefs,
-                dzi,
-                dvi,
-                dui,
-                inv_scale_m,
-                sigz_m,
+            v_s, w_s = _recon_stack(
+                st["slices"],
+                jnp.asarray(keep.astype(np.float32)),
+                jnp.asarray(Grec),
+                jnp.float32(data["rs"]),
+                jnp.float32(data["gap_vox"]),
+                jnp.float32(data["z0"]),
+                sig_rec,
+                jnp.int32(qinv_idx),
+                jnp.asarray(i_ang),
+                jnp.float32(i_scl),
+                jnp.asarray(i_dlt),
+                cube=SS,
+                ns_grid=NS,
+                out_shape=tuple(shape),
             )
-            v_s = warp_rigid_separable(v_stack, Minv_np, np.zeros(3), out_shape=tuple(shape))
-            w_s = warp_rigid_separable(w_stack, Minv_np, np.zeros(3), out_shape=tuple(shape))
             value_acc = value_acc + v_s
             weight_acc = weight_acc + w_s
-            total_slices += int(valid.sum())
-            if total_slices >= sp.max_num_slices:
-                break
 
-        # --- finalize: equalize, smooth, merge (PSFReconstructor seeds)
-        smooth_on = rng.random() < rp.prob_smooth
-        merge_on = rng.random() < rp.prob_merge
+        # merge weights (get_merging_weights, simulate_reco.py:649-691)
         mp = rp.merge_params
-        meta = {
-            "resolution_recon": res,
-            "resolution_slice": res_s,
-            "slice_thickness": s_thick,
-            "gap": gap,
-            "nstacks": num_stacks,
-            "smooth_volume_on": smooth_on,
-            "merge_volume_on": merge_on,
-            "misreg_stack_on": misreg_stack_on,
-        }
-        if mp.merge_type == "perlin":
-            res_p = int(rng.choice(mp.perlin_res_list))
-            octave = int(rng.choice(mp.perlin_octaves_list))
-            mw = fractal_noise_3d(
-                jax.random.fold_in(key, 7),
-                shape,
-                (res_p, res_p, res_p),
-                octaves=octave,
-                persistence=mp.perlin_persistence,
-                lacunarity=mp.perlin_lacunarity,
-                increase=mp.perlin_increase_size,
-            )
-            meta.update({"merge_type": "perlin", "res": res_p, "octave": octave})
+        meta_merge: dict = {}
+        if s["merge_volume_on"]:
+            if s["merge_type"] == "perlin":
+                mw = fractal_noise_3d(
+                    jax.random.fold_in(key, 7),
+                    shape,
+                    (s["res"], s["res"], s["res"]),
+                    octaves=s["octave"],
+                    persistence=mp.perlin_persistence,
+                    lacunarity=mp.perlin_lacunarity,
+                    increase=mp.perlin_increase_size,
+                )
+            else:
+                ng = s["ngaussians_merge"]
+                centers, cvalid = masked_random_centers(
+                    jax.random.fold_in(key, 8),
+                    (data["seg_gt"] > 0).astype(jnp.int32),
+                    8,
+                    ng,
+                )
+                sigmas = np.clip(20 + 10 * rng.standard_normal((8, 1)), 5, 40)
+                mw = mog_3d(shape, centers, jnp.asarray(sigmas, jnp.float32), cvalid)
         else:
-            ng = int(rng.integers(mp.gauss_ngaussians_min, mp.gauss_ngaussians_max))
-            centers, cvalid = masked_random_centers(
-                jax.random.fold_in(key, 8), (jnp.asarray(seg) > 0).astype(jnp.int32), 8, ng
-            )
-            sigmas = np.clip(20 + 10 * rng.standard_normal((8, 1)), 5, 40)
-            mw = mog_3d(shape, centers, jnp.asarray(sigmas, jnp.float32), cvalid)
-            meta.update({"merge_type": "gaussian", "ngaussians_merge": ng})
+            mw = jnp.zeros(shape, jnp.float32)
 
         out = _finalize(
             value_acc,
             weight_acc,
-            vol,
-            jnp.asarray(seg),
-            key,
-            jnp.asarray(smooth_on),
-            jnp.asarray(merge_on),
+            data["volume_gt"],
+            jnp.asarray(s["smooth_volume_on"]),
+            jnp.asarray(s["merge_volume_on"]),
             mw,
         )
+        extent = data["recon_extent"]
+        if tuple(extent) != tuple(shape):
+            corner = np.zeros(shape, np.float32)
+            corner[: extent[0], : extent[1], : extent[2]] = 1.0
+            out = out * jnp.asarray(corner)
+        return out, mw
+
+
+class SimulateMotion:
+    """Reference-parity motion artifact (``artifacts.py:345-425``):
+    Scanner + PSFReconstructor with ``resolution_recon = resolution``."""
+
+    def __init__(self, prob: float, scanner_params: ScannerParams, recon_params: ReconParams):
+        self.prob = prob
+        self.scanner_args = scanner_params
+        self.recon_args = recon_params
+
+    def __call__(
+        self, output, seg, genparams=None, resolution=(0.5, 0.5, 0.5), rng=None, key=None, **kw
+    ):
+        genparams = {
+            k: v for k, v in (genparams or {}).items() if v is not None
+        }  # _validated_genparams parity (reference model.py:85-92)
+        if "rng_seed" in genparams:
+            # dict-alone replay: the recorded internal seed + key reproduce
+            # every draw regardless of the caller's rng/key
+            key = jnp.asarray(np.asarray(genparams["rng_key"], np.uint32))
+            seed = int(genparams["rng_seed"])
+        else:
+            rng = rng or np.random.default_rng()
+            if rng.random() >= self.prob and not genparams:
+                return output, {}
+            seed = int(rng.integers(2**63))
+            if key is None:
+                key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        rng = np.random.default_rng(seed)  # internal stream, replayable
+
+        res = float(resolution[0])
+        sp = ScannerParams(**{**self.scanner_args.__dict__, "resolution_recon": res})
+        scanner = Scanner(sp)
+        recon = PSFReconstructor(self.recon_args)
+
+        data = {
+            "resolution": res,
+            "volume": jnp.asarray(output, jnp.float32),
+            "mask": (jnp.asarray(seg) > 0).astype(jnp.float32),
+            "seg": jnp.asarray(seg, jnp.float32),
+        }
+        d_scan = scanner.scan(data, genparams, rng=rng, key=key)
+        out, _ = recon.recon_psf(d_scan, genparams, rng=rng)
+
+        meta = {
+            "rng_seed": seed,
+            "rng_key": _key_words(key).tolist(),
+            "resolution_recon": d_scan["resolution_recon"],
+            "resolution_slice": d_scan["resolution_slice"],
+            "slice_thickness": d_scan["slice_thickness"],
+            "gap": d_scan["gap"],
+            "nstacks": len(d_scan["stacks"]),
+            "total_slices": d_scan["total_slices"],
+        }
+        meta.update(recon.get_seeds())
         return out, meta

@@ -198,6 +198,135 @@ class FetalSynthGen:
     def _next_key(self) -> jax.Array:
         return jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
 
+    def _resolve_key(self, genparams: dict, key: jax.Array | None) -> jax.Array:
+        if key is not None:
+            return key
+        if "key" in genparams:
+            return jnp.asarray(np.asarray(genparams["key"], dtype=np.uint32))
+        return self._next_key()
+
+    def _prepare_intensity(self, image, seeds, genparams, key):
+        """Load+select seed volumes, or fall back to image-as-intensity.
+
+        Returns (seed_arr, selected_seeds, image_as_intensity).
+        """
+        if seeds is not None:
+            seed_rng = np.random.default_rng(_key_data(key).tolist())
+            seed_vol, selected_seeds = self.intensity_generator.load_seeds(
+                seeds, genparams.get("selected_seeds", {}), rng=seed_rng
+            )
+            return jnp.asarray(seed_vol, jnp.int32), selected_seeds, False
+        if image is None:
+            raise ValueError(
+                "If no seeds are passed, an image must be loaded to be used as intensity prior!"
+            )
+        return None, {}, True
+
+    def _apply_artifacts(self, out, seg, genparams_artifacts: dict, key: jax.Array):
+        """Run the configured SR-artifact chain (reference model.py:210-220)."""
+        artifact_meta = {}
+        artifact_tags = {
+            "blur_cortex": 301,
+            "struct_noise": 302,
+            "simulate_motion": 303,
+            "boundaries": 304,
+        }
+        for name, artifact in self.artifacts.items():
+            if artifact is not None:
+                akey = jax.random.fold_in(key, artifact_tags[name])
+                # host-side scalar draws are keyed off the sample key so the
+                # whole sample (incl. artifact gates) replays from (key, genparams)
+                arng = np.random.default_rng(_key_data(akey).tolist())
+                out, meta = artifact(
+                    out,
+                    seg,
+                    genparams=genparams_artifacts.get(name, {}),
+                    resolution=self.cfg.resolution,
+                    key=akey,
+                    rng=arng,
+                )
+                artifact_meta[name] = meta
+        return out, artifact_meta
+
+    def generate(
+        self,
+        image: np.ndarray | None,
+        segmentation: np.ndarray,
+        seeds: dict[int, dict[int, Path]] | None,
+        genparams: dict | None = None,
+        key: jax.Array | None = None,
+    ):
+        """Intensity synthesis + spatial deformation only (reference
+        ``model.py:94-159``). Returns (output, segmentation, image, params).
+        """
+        from .pipeline import STAGES_GENERATE
+
+        genparams = dict(genparams or {})
+        key = self._resolve_key(genparams, key)
+        seed_arr, selected_seeds, image_as_intensity = self._prepare_intensity(
+            image, seeds, genparams, key
+        )
+        overrides = overrides_from_genparams(genparams)
+        seg_arr = jnp.asarray(np.asarray(segmentation), jnp.int32)
+        img_arr = jnp.asarray(np.asarray(image), jnp.float32) if image is not None else None
+
+        if image_as_intensity:
+            lo, hi = jnp.min(img_arr), jnp.max(img_arr)
+            base = (img_arr - lo) / jnp.where(hi > lo, hi - lo, 1.0) * 255.0
+            out, seg, img, p = synth_sample(
+                key, None, seg_arr, image=img_arr, cfg=self.cfg,
+                overrides=overrides, intensity_prior=base, stages=STAGES_GENERATE,
+            )
+        else:
+            out, seg, img, p = synth_sample(
+                key, seed_arr, seg_arr, image=img_arr, cfg=self.cfg,
+                overrides=overrides, stages=STAGES_GENERATE,
+            )
+        full = genparams_to_dict(p)
+        params_out = {
+            "key": _key_data(key).tolist(),
+            "selected_seeds": selected_seeds,
+            "seed_intensities": full["seed_intensities"],
+            "deform_params": full["deform_params"],
+        }
+        return out, seg, img, params_out
+
+    def augment(
+        self,
+        image: np.ndarray | jnp.ndarray,
+        segmentation: np.ndarray | jnp.ndarray,
+        genparams: dict | None = None,
+        key: jax.Array | None = None,
+    ):
+        """Intensity augmentations + SR artifacts on a given image (reference
+        ``model.py:161-229``). Returns (output, params).
+        """
+        from .pipeline import STAGES_AUGMENT
+
+        genparams = dict(genparams or {})
+        key = self._resolve_key(genparams, key)
+        overrides = overrides_from_genparams(genparams)
+        seg_arr = jnp.asarray(np.asarray(segmentation), jnp.int32)
+        img_arr = jnp.asarray(np.asarray(image), jnp.float32)
+
+        out, _, _, p = synth_sample(
+            key, None, seg_arr, cfg=self.cfg, overrides=overrides,
+            intensity_prior=img_arr, stages=STAGES_AUGMENT,
+        )
+        out, artifact_meta = self._apply_artifacts(
+            out, seg_arr, genparams.get("artifact_params", {}), key
+        )
+        full = genparams_to_dict(p)
+        params_out = {
+            "key": _key_data(key).tolist(),
+            "gamma_params": full["gamma_params"],
+            "bf_params": full["bf_params"],
+            "resample_params": full["resample_params"],
+            "noise_params": full["noise_params"],
+            "artifacts": artifact_meta,
+        }
+        return out, params_out
+
     def sample(
         self,
         image: np.ndarray | None,
@@ -223,28 +352,10 @@ class FetalSynthGen:
             passed back (same voxel noise via the stored key).
         """
         genparams = dict(genparams or {})
-        if key is None:
-            if "key" in genparams:
-                key = jnp.asarray(np.asarray(genparams["key"], dtype=np.uint32))
-            else:
-                key = self._next_key()
-
-        selected_seeds: dict = {}
-        if seeds is not None:
-            seed_rng = np.random.default_rng(_key_data(key).tolist())
-            seed_vol, selected_seeds = self.intensity_generator.load_seeds(
-                seeds, genparams.get("selected_seeds", {}), rng=seed_rng
-            )
-            seed_arr = jnp.asarray(seed_vol, jnp.int32)
-            image_as_intensity = False
-        else:
-            if image is None:
-                raise ValueError(
-                    "If no seeds are passed, an image must be loaded to be used as intensity prior!"
-                )
-            seed_arr = None
-            image_as_intensity = True
-
+        key = self._resolve_key(genparams, key)
+        seed_arr, selected_seeds, image_as_intensity = self._prepare_intensity(
+            image, seeds, genparams, key
+        )
         overrides = overrides_from_genparams(genparams)
         seg_arr = jnp.asarray(np.asarray(segmentation), jnp.int32)
         img_arr = jnp.asarray(np.asarray(image), jnp.float32) if image is not None else None
@@ -263,19 +374,9 @@ class FetalSynthGen:
             )
 
         # SR artifacts (optional; applied post-augmentation like model.py:210-220)
-        artifact_meta = {}
-        artifact_tags = {"blur_cortex": 301, "struct_noise": 302, "simulate_motion": 303, "boundaries": 304}
-        for name, artifact in self.artifacts.items():
-            if artifact is not None:
-                akey = jax.random.fold_in(key, artifact_tags[name])
-                # host-side scalar draws are keyed off the sample key so the
-                # whole sample (incl. artifact gates) replays from (key, genparams)
-                arng = np.random.default_rng(_key_data(akey).tolist())
-                out, meta = artifact(
-                    out, seg, genparams=genparams.get("artifacts", {}).get(name, {}),
-                    resolution=self.cfg.resolution, key=akey, rng=arng,
-                )
-                artifact_meta[name] = meta
+        out, artifact_meta = self._apply_artifacts(
+            out, seg, genparams.get("artifacts", {}), key
+        )
 
         params_out = {
             "key": _key_data(key).tolist(),

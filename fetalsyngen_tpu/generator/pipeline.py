@@ -53,11 +53,29 @@ from .params import GenParams, field_key, sample_params
 # ---------------------------------------------------------------------------
 
 def intensity_stage(key: jax.Array, seeds: jnp.ndarray, p: GenParams) -> jnp.ndarray:
-    """``intensity = mus[seeds] + sigmas[seeds] * N(0,1)``, clamped at 0."""
-    flat = seeds.reshape(-1).astype(jnp.int32)
-    mu = jnp.take(p.mus, flat).reshape(seeds.shape)
-    sigma = jnp.take(p.sigmas, flat).reshape(seeds.shape)
+    """``intensity = mus[seeds] + sigmas[seeds] * N(0,1)``, clamped at 0.
+
+    On TPU the per-element table gather (``mus[seeds]``) costs ~150 ms per
+    16.7M voxels (any index pattern, measured on v5e) — it would dominate the
+    whole pipeline. The label table is tiny (~50 entries), so a vectorized
+    label sweep of compare+selects (~1 ms) replaces the gather; values are
+    identical.
+    """
     noise = jax.random.normal(field_key(key, "field_intensity"), seeds.shape, jnp.float32)
+    nlabels = p.mus.shape[0]
+    if jax.default_backend() == "tpu":
+        # clamp like jnp.take's OOB mode so both paths agree on stray labels
+        seeds_i = jnp.clip(seeds.astype(jnp.int32), 0, nlabels - 1)
+        mu = jnp.zeros(seeds.shape, jnp.float32)
+        sigma = jnp.zeros(seeds.shape, jnp.float32)
+        for lab in range(nlabels):
+            sel = seeds_i == lab
+            mu = jnp.where(sel, p.mus[lab], mu)
+            sigma = jnp.where(sel, p.sigmas[lab], sigma)
+    else:
+        flat = seeds.reshape(-1).astype(jnp.int32)
+        mu = jnp.take(p.mus, flat).reshape(seeds.shape)
+        sigma = jnp.take(p.sigmas, flat).reshape(seeds.shape)
     return jnp.maximum(mu + sigma * noise, 0.0)
 
 
@@ -333,7 +351,17 @@ def resample_noise_stage(
 # Full pipeline
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "override_names", "with_image", "use_seeds"))
+# Stage sets for the reference's split public API (model.py:94-159 generate =
+# intensity + deform; model.py:161-229 augment = gamma..resize-back).
+STAGES_ALL = ("intensity", "deform", "augment")
+STAGES_GENERATE = ("intensity", "deform")
+STAGES_AUGMENT = ("augment",)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "override_names", "with_image", "use_seeds", "stages"),
+)
 def _synth_core(
     key: jax.Array,
     seeds: jnp.ndarray,
@@ -344,23 +372,26 @@ def _synth_core(
     override_names: tuple,
     with_image: bool,
     use_seeds: bool = True,
+    stages: tuple = STAGES_ALL,
 ):
     overrides = dict(zip(override_names, override_values))
     p = sample_params(key, cfg, overrides)
 
-    if use_seeds:
+    if use_seeds and "intensity" in stages:
         output = intensity_stage(key, seeds, p)
     else:
-        # image-as-intensity prior (reference model.py:131-139): ``seeds``
-        # already holds the [0, 255]-rescaled image.
+        # image-as-intensity prior (reference model.py:131-139; ``seeds``
+        # already holds the rescaled image), or augment-only entry.
         output = seeds
 
     img = image if with_image else None
-    output, segmentation, img = deform_stage(key, p, cfg, output, segmentation, img)
+    if "deform" in stages:
+        output, segmentation, img = deform_stage(key, p, cfg, output, segmentation, img)
 
-    output = gamma_stage(output, p)
-    output = bias_stage(key, output, p, cfg)
-    output = resample_noise_stage(key, output, p, cfg)
+    if "augment" in stages:
+        output = gamma_stage(output, p)
+        output = bias_stage(key, output, p, cfg)
+        output = resample_noise_stage(key, output, p, cfg)
     return output, segmentation, img, p
 
 
@@ -372,6 +403,7 @@ def synth_sample(
     cfg: GeneratorCfg = GeneratorCfg(),
     overrides: dict | None = None,
     intensity_prior: jnp.ndarray | None = None,
+    stages: tuple = STAGES_ALL,
 ):
     """Generate one synthetic (image, segmentation) pair.
 
@@ -399,7 +431,7 @@ def synth_sample(
     use_seeds = intensity_prior is None
     base = seeds if use_seeds else jnp.asarray(intensity_prior, jnp.float32)
     out, seg, img, p = _synth_core(
-        key, base, segmentation, img, values, cfg, names, with_image, use_seeds
+        key, base, segmentation, img, values, cfg, names, with_image, use_seeds, stages
     )
     return out, seg, (img if with_image else None), p
 

@@ -36,6 +36,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -114,14 +115,19 @@ def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, near
         win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
     # now win[:, l] == xpad[rows, base + l] for l < 384 - 127
 
+    # Tap offsets clamp into the window: a position whose within-block spread
+    # exceeds maxspan samples a clamped (nearby) tap instead of silently
+    # accumulating zero.
     acc = jnp.zeros((B, 128), jnp.float32)
     if nearest:
-        ri_rel = jnp.round(pos) - lanes_f - n0.astype(jnp.float32)
+        ri_rel = jnp.clip(
+            jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0
+        )
         for m in range(maxspan):
             wgt = (ri_rel == float(m)).astype(jnp.float32)
             acc = acc + wgt * win[:, m : m + 128]
     else:
-        d0 = rel - n0.astype(jnp.float32)
+        d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
         for m in range(maxspan):
             wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
             acc = acc + wgt * win[:, m : m + 128]
@@ -174,7 +180,10 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
     x2d = vol.reshape(R, W)
     coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
 
-    if not _use_pallas() or R % BLOCK_ROWS or W % 128 or OW % 128:
+    if _use_pallas() and _v2_ok(R, W, OW, H, maxspan):
+        return _hat_pass_v2_call([vol], [nearest], coefs, disp, shape, maxspan, out_len)[0]
+
+    if not _use_pallas() or not _v1_ok(R, W, OW, H):
         rows = jnp.arange(R, dtype=jnp.float32)
         ri = jnp.floor(rows / H)
         rj = rows - ri * H
@@ -195,7 +204,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
         _hat_kernel,
         S=W,
         H_rows=H,
-        maxspan=maxspan,
+        maxspan=max(maxspan, V1_MINSPAN),
         nearest=nearest,
         with_disp=with_disp,
     )
@@ -223,6 +232,190 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
 
 
 # ---------------------------------------------------------------------------
+# v2 kernel: big blocks, in-kernel padding, per-subtile windows
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel above issues one grid step per (32, 128) output tile — 4096
+# steps per 256^3 pass — and reads an HBM-materialized edge-padded copy of the
+# source (3.5x read amplification). Measured on v5e, per-step overhead
+# dominates (~7-9 ms/pass regardless of tap count). v2 restructures:
+#
+#   * grid = (R / BIG_ROWS,): one step per 128-row slab, source block fetched
+#     once, output written once — 16x fewer grid steps;
+#   * edge padding happens IN the kernel into a VMEM scratch (no padded HBM
+#     array, no pad round-trip);
+#   * the slab is processed by an in-kernel fori_loop over (SUB=8, 128)
+#     subtiles, each with its own window base n0 — smaller position spread
+#     per tile, so unit-slope passes need far fewer taps (12 vs 48);
+#   * span overflow degrades gracefully: tap offsets clamp into the window
+#     (a rare >4-sigma field draw samples a position clamped by <=1 voxel
+#     instead of silently accumulating zero).
+
+BIG_ROWS = 128
+SUB = 8
+
+
+def _hat_v2_kernel(coef_ref, *refs, S, H_rows, OW, maxspan, modes, with_disp):
+    """Process one (BIG_ROWS, OW) output slab for ``len(modes)`` operands.
+
+    refs layout: x_refs (n), [disp_ref], o_refs (n), scratch_refs (n).
+    modes: tuple of booleans — True = nearest, False = linear — per operand.
+    """
+    n_ops = len(modes)
+    x_refs = refs[:n_ops]
+    i = n_ops
+    disp_ref = refs[i] if with_disp else None
+    if with_disp:
+        i += 1
+    o_refs = refs[i : i + n_ops]
+    s_refs = refs[i + n_ops : i + 2 * n_ops]
+
+    r_blk = pl.program_id(0)
+    ci = coef_ref[0, 0]
+    cj = coef_ref[0, 1]
+    ck = coef_ref[0, 2]
+    bias = coef_ref[0, 3]
+    width = S + 2 * PAD + 128
+
+    # stage edge-padded source rows in VMEM
+    for x_ref, s_ref in zip(x_refs, s_refs):
+        s_ref[:, PAD : PAD + S] = x_ref[:]
+        s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (BIG_ROWS, PAD))
+        s_ref[:, PAD + S :] = jnp.broadcast_to(
+            x_ref[:, S - 1 : S], (BIG_ROWS, width - PAD - S)
+        )
+
+    n_lane = OW // 128
+    n_tiles = (BIG_ROWS // SUB) * n_lane
+
+    def tile(ti, carry):
+        si = ti // n_lane
+        h = ti - si * n_lane
+        row0 = pl.multiple_of(si * SUB, SUB)
+        lane0 = pl.multiple_of(h * 128, 128)
+
+        rows = (r_blk * BIG_ROWS + row0) + jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, 128), 0
+        )
+        row_i = (rows // H_rows).astype(jnp.float32)
+        row_j = (rows % H_rows).astype(jnp.float32)
+        lanes_f = (lane0 + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)).astype(
+            jnp.float32
+        )
+        pos = ci * row_i + cj * row_j + ck * lanes_f + bias
+        if with_disp:
+            pos = pos + disp_ref[pl.ds(row0, SUB), pl.ds(lane0, 128)]
+
+        sat_lo = pos <= 0.0
+        sat_hi = pos >= S - 1.0
+        valid = jnp.logical_not(jnp.logical_or(sat_lo, sat_hi))
+        rel = pos - lanes_f
+        rel_v = jnp.where(valid, rel, _BIG)
+        n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
+        base = jnp.clip(PAD + lane0 + n0, 0, width - 384)
+        q = base // 128
+        off = base - q * 128
+        n0_eff = (base - PAD - lane0).astype(jnp.float32)
+        d0 = jnp.clip(rel - n0_eff, 0.0, maxspan - 1.0)
+        ri_rel = jnp.clip(jnp.round(pos) - lanes_f - n0_eff, 0.0, maxspan - 1.0)
+
+        for nearest, o_ref, s_ref in zip(modes, o_refs, s_refs):
+            win = s_ref[pl.ds(row0, SUB), pl.ds(pl.multiple_of(q * 128, 128), 384)]
+            for b in range(7):
+                bit = ((off >> b) & 1) == 1
+                win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
+            acc = jnp.zeros((SUB, 128), jnp.float32)
+            if nearest:
+                for m in range(maxspan):
+                    acc = jnp.where(ri_rel == float(m), win[:, m : m + 128], acc)
+            else:
+                for m in range(maxspan):
+                    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
+                    acc = acc + wgt * win[:, m : m + 128]
+            lo_edge = s_ref[pl.ds(row0, SUB), PAD][:, None]
+            hi_edge = s_ref[pl.ds(row0, SUB), PAD + S - 1][:, None]
+            o_ref[pl.ds(row0, SUB), pl.ds(lane0, 128)] = jnp.where(
+                sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc)
+            )
+        return carry
+
+    if _UNROLL:
+        for ti in range(n_tiles):
+            tile(ti, 0)
+    else:
+        jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+# The v2 kernel measured SLOWER than v1 on v5e (15-19 vs 11.6 ms/vol per
+# pair pass at 256^3 — the in-kernel subtile loop pipelines worse than many
+# small grid steps), so it is opt-in for further experiments.
+_FORCE_V2 = os.environ.get("FSG_WARP_V2") == "1"
+# FSG_WARP_UNROLL=1 statically unrolls the v2 subtile loop (A/B benchmarking).
+_UNROLL = os.environ.get("FSG_WARP_UNROLL") == "1"
+
+
+def _v2_ok(R, W, OW, H_rows, maxspan):
+    return (
+        _FORCE_V2
+        and R % BIG_ROWS == 0
+        and W % 128 == 0
+        and OW % 128 == 0
+        and H_rows % SUB == 0
+        and maxspan <= 384 - 127
+    )
+
+
+def _v1_ok(R, W, OW, H_rows):
+    return R % BLOCK_ROWS == 0 and W % 128 == 0 and OW % 128 == 0 and H_rows % BLOCK_ROWS == 0
+
+
+def _hat_pass_v2_call(vols, modes, coefs_arr, disp, shape, maxspan, out_len):
+    """pallas_call wrapper for the v2 kernel over a list of operands."""
+    D, H, W = shape
+    OW = W if out_len is None else out_len
+    R = D * H
+    width = W + 2 * PAD + 128
+    with_disp = disp is not None
+
+    kernel = functools.partial(
+        _hat_v2_kernel,
+        S=W,
+        H_rows=H,
+        OW=OW,
+        maxspan=maxspan,
+        modes=tuple(modes),
+        with_disp=with_disp,
+    )
+    n = len(vols)
+    in_specs = [pl.BlockSpec((1, 4), lambda r: (0, 0), memory_space=pltpu.SMEM)]
+    in_specs += [
+        pl.BlockSpec((BIG_ROWS, W), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    ] * n
+    args = [coefs_arr.reshape(1, 4)] + [v.reshape(R, W) for v in vols]
+    if with_disp:
+        in_specs.append(
+            pl.BlockSpec((BIG_ROWS, OW), lambda r: (r, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(disp.reshape(R, OW))
+    out_spec = pl.BlockSpec((BIG_ROWS, OW), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((R, OW), jnp.float32) for _ in range(n)),
+        grid=(R // BIG_ROWS,),
+        in_specs=in_specs,
+        out_specs=tuple(out_spec for _ in range(n)),
+        scratch_shapes=[pltpu.VMEM((BIG_ROWS, width), jnp.float32) for _ in range(n)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * R * OW * maxspan,
+            bytes_accessed=4 * n * R * (W + OW) + (4 * R * OW if with_disp else 0),
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(*args)
+    return [o.reshape(D, H, OW) for o in outs]
+
+
+# ---------------------------------------------------------------------------
 # UL factorization (A = U @ L, L unit-lower, U upper with diagonal)
 # ---------------------------------------------------------------------------
 
@@ -243,13 +436,23 @@ def ul_decompose(A: jnp.ndarray):
     return U, L
 
 
-# Static pass window: within-block position span bound for the supported
-# deformation ranges (rot<=20deg, shear<=0.05, scale in [0.8, 1.25]) at
-# 32-row blocks. One shared value keeps the compile-variant count at two
-# (linear/nearest) per volume shape.
+# Static pass windows: within-block position span bounds for the supported
+# deformation ranges (rot<=20deg, shear<=0.05, scale in [0.8, 1.25]) at the
+# v1 kernel's (32, 128) blocks:
+#   U passes:  |diag-1|*127 (lanes) + |offdiag|*31 (rows) + 4
+#   L passes:  unit lane slope; |L offdiag|*31 + 4
+#   field:     unit lane slope + 2*FIELD_LIM + |L|*31 + 4
+# Span overflow (exotic configs) degrades to a clamped tap, not zeros.
 MAXSPAN_U = 48
 MAXSPAN_L = 48
 MAXSPAN_FIELD = 48
+# Displacement fields are clipped to +-FIELD_LIM voxels: ~3.5 sigma of the
+# largest default nonlin_std (4.0) — beyond the field's realizable range —
+# chosen so 2*FIELD_LIM + |L|*31 + 4 fits the 48-tap field window.
+FIELD_LIM = 14.0
+# The v1 kernel computes one window per 32-row block (position spread up to
+# ~4x a v2 subtile's), so passes falling back to it keep at least this span.
+V1_MINSPAN = 48
 
 
 def warp_affine_separable(vol, A, t, nearest=False, out_shape=None, maxspan=None):
@@ -294,7 +497,7 @@ def warp_displacement_separable(vol, dx, dy, dz, nearest=False):
     """
     D, H, W = vol.shape
     dt = vol.dtype
-    lim = MAXSPAN_FIELD / 2.0 - 2.0
+    lim = FIELD_LIM
     dx = jnp.clip(dx, -lim, lim)
     dy = jnp.clip(dy, -lim, lim)
     dz = jnp.clip(dz, -lim, lim)
@@ -427,6 +630,237 @@ def warp_rigid_separable(vol, R, t, out_shape=None, nearest=False):
     return x.astype(dt)
 
 
+# ---------------------------------------------------------------------------
+# Traced rigid warps: quarter-turn lax.switch + UL passes
+# ---------------------------------------------------------------------------
+#
+# ``warp_rigid_separable`` above bakes the quarter-turn part of each rotation
+# into HOST control flow (np.rot90 choice), so every distinct stack
+# orientation retraces. For the scanner we need ONE compiled program serving
+# every orientation: the 24 cube rotations become a ``lax.switch`` over
+# transpose/flip branches (pure layout ops), and the residual rotation
+# (every Euler angle <= 45 deg by construction) runs through the traced UL
+# hat passes.
+
+def _exact_quarter_np(V, P):
+    S = V.shape[0]
+    c = (S - 1) / 2.0
+    q = np.indices(V.shape).astype(np.float64) - c
+    i = np.rint(np.einsum("ab,b...->a...", P, q) + c).astype(int)
+    return V[i[0], i[1], i[2]]
+
+
+def _init_quarter_table():
+    import itertools
+
+    mats, ops = [], []
+    probe = np.arange(4**3).reshape(4, 4, 4)
+    layouts = [
+        (tp, ax)
+        for tp in itertools.permutations(range(3))
+        for ax in itertools.chain.from_iterable(
+            itertools.combinations(range(3), k) for k in range(4)
+        )
+    ]
+    for perm in itertools.permutations(range(3)):
+        for signs in itertools.product([1, -1], repeat=3):
+            P = np.zeros((3, 3))
+            for a in range(3):
+                P[a, perm[a]] = signs[a]
+            if round(np.linalg.det(P)) != 1:
+                continue
+            want = _exact_quarter_np(probe, P)
+            for tp, ax in layouts:
+                cand = np.transpose(probe, tp)
+                if ax:
+                    cand = np.flip(cand, ax)
+                if np.array_equal(cand, want):
+                    mats.append(P.astype(np.float64))
+                    ops.append((tp, tuple(ax)))
+                    break
+            else:  # pragma: no cover
+                raise AssertionError(f"no layout op found for quarter turn {P}")
+    return mats, ops
+
+
+_QUARTER_MATS, _QUARTER_OPS = _init_quarter_table()
+
+
+def nearest_quarter_index(R) -> int:
+    """Host: index of the cube rotation nearest (Frobenius) to ``R``."""
+    R = np.asarray(R, np.float64)
+    return int(np.argmax([np.trace(P.T @ R) for P in _QUARTER_MATS]))
+
+
+def quarter_matrix(idx: int) -> np.ndarray:
+    return _QUARTER_MATS[idx]
+
+
+def apply_quarter_turn(x: jnp.ndarray, idx) -> jnp.ndarray:
+    """``out[q] = V[P_idx (q - c) + c]`` on a cube volume; ``idx`` is traced
+    (one compiled switch serves all 24 orientations)."""
+    branches = [
+        (
+            lambda v, tp=tp, ax=ax: jnp.flip(jnp.transpose(v, tp), ax)
+            if ax
+            else jnp.transpose(v, tp)
+        )
+        for tp, ax in _QUARTER_OPS
+    ]
+    return jax.lax.switch(idx, branches, x)
+
+
+def decompose_rigid_host(R, t, in_center, out_center):
+    """Host: split ``p_in = R q_out + t_c`` (about centers) into a quarter
+    turn + near-identity residual for the UL-based pair warp.
+
+    Returns (q_idx, A_res, t_res) with ``R = P[q_idx] @ A_res``; the warp
+    contract downstream is ``out[q] = quarter(V)[A_res q + t_res]``.
+    """
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64)
+    idx = nearest_quarter_index(R)
+    P = _QUARTER_MATS[idx]
+    A_res = P.T @ R
+    c_in = np.asarray(in_center, np.float64)
+    c_out = np.asarray(out_center, np.float64)
+    # V[R (q - c_out) + c_in + t] == quarter(V)[A_res (q - c_out) + c_in + P^T t]
+    t_res = c_in + P.T @ t - A_res @ c_out
+    return idx, A_res.astype(np.float32), t_res.astype(np.float32)
+
+
+def decompose_affine_paeth_host(A, t, cube):
+    """Host: split an UNcentered ``p_in = A q_out + t`` (input = cube grid)
+    into quarter turn + traced Euler angles + isotropic scale + shift for
+    :func:`warp_rigid_pair_traced`.
+
+    ``A`` must be rotation-times-isotropic-scale. Returns
+    (q_idx, angles(3), scale, delta(3)) such that
+    ``V[A q + t] == zoom_{scale, delta}( rot_{angles}( quarter_{q_idx}(V) ) )[q]``
+    where rot samples ``Rx(a0) Ry(a1) Rz(a2)`` about the cube center and zoom
+    samples axis coordinate ``scale * q + delta``.
+    """
+    A = np.asarray(A, np.float64)
+    t = np.asarray(t, np.float64)
+    s = float(np.cbrt(np.linalg.det(A)))
+    R = A / s
+    idx = nearest_quarter_index(R)
+    P = _QUARTER_MATS[idx]
+    R_res = P.T @ R
+    from scipy.spatial.transform import Rotation as _Rotation
+
+    angles = _Rotation.from_matrix(R_res).as_euler("XYZ")
+    c = np.full(3, (cube - 1) / 2.0)
+    t_res = P.T @ (t - c) + c
+    # out[q] = quarter(V)[R_res (s q) + t_res] = W[s q + delta] with
+    # W[p] = quarter(V)[R_res (p - c) + c]
+    delta = R_res.T @ (t_res - c) + c
+    return idx, angles.astype(np.float32), np.float32(s), delta.astype(np.float32)
+
+
+# shear-pass windows (v1 32-row blocks): |amount| <= 1 (Paeth shears of
+# residual rotations up to ~90 deg) over 31 rows + hat support
+MAXSPAN_SHEAR = 40
+
+
+def _shear_pass_pair(va, vb, axis_move, axis_fix, amount, bias, modes):
+    """Pair shear: pos[axis_move] = idx + amount * centered(axis_fix) + bias."""
+    c = [(s - 1) / 2.0 for s in va.shape]
+    perm = [a for a in range(3) if a != axis_move] + [axis_move]
+    xa = jnp.transpose(va, perm)
+    xb = jnp.transpose(vb, perm)
+    shp = tuple(xa.shape)
+    ci = cj = 0.0
+    if perm[0] == axis_fix:
+        ci = amount
+    else:
+        cj = amount
+    b = bias - amount * c[axis_fix]
+    xa, xb = hat_pass_pair(xa, xb, (ci, cj, 1.0, b), None, shp, MAXSPAN_SHEAR, modes=modes)
+    inv = tuple(np.argsort(perm))
+    return jnp.transpose(xa, inv), jnp.transpose(xb, inv)
+
+
+def _paeth3_pair(a, b, sh1, sh2, axis, modes):
+    """Paeth shear trio on a volume pair (traced shear amounts)."""
+    u, v = _PLANE[axis]
+    a, b = _shear_pass_pair(a, b, u, v, sh1, 0.0, modes)
+    a, b = _shear_pass_pair(a, b, v, u, sh2, 0.0, modes)
+    return _shear_pass_pair(a, b, u, v, sh1, 0.0, modes)
+
+
+def _interp_or_nearest_matrix(coords, in_size, nearest):
+    from .linops import interp_matrix
+
+    if not nearest:
+        return interp_matrix(coords, in_size)
+    idx = jnp.clip(jnp.round(coords), 0, in_size - 1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], in_size), 1)
+    return (cols == idx[:, None]).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape", "modes"))
+def warp_rigid_pair_traced(
+    va, vb, q_idx, angles, scale, delta, out_shape=None, modes=(False, False)
+):
+    """``out[q] = V[A q + t]`` for two CUBE volumes with a fully TRACED
+    rotation-times-isotropic-scale map (from
+    :func:`decompose_affine_paeth_host`) — one compiled program serves every
+    orientation.
+
+    Pipeline: quarter-turn ``lax.switch`` -> per-axis Paeth shear trios
+    (quarter alignment bounds every residual Euler angle well below 90 deg,
+    so one trio per axis suffices) -> final separable zoom/shift matmuls
+    (MXU).
+    """
+    from .linops import apply_axis_matrix
+
+    cube = va.shape[0]
+    out_shape = tuple(out_shape) if out_shape is not None else va.shape
+    a = apply_quarter_turn(va.astype(jnp.float32), q_idx)
+    b = apply_quarter_turn(vb.astype(jnp.float32), q_idx)
+    for axis in range(3):
+        th = angles[axis]
+        sh1 = -jnp.tan(th / 2.0)
+        sh2 = jnp.sin(th)
+        a, b = _paeth3_pair(a, b, sh1, sh2, axis, modes)
+    for axis in range(3):
+        coords = scale * jnp.arange(out_shape[axis], dtype=jnp.float32) + delta[axis]
+        Ma = _interp_or_nearest_matrix(coords, cube, modes[0])
+        Mb = Ma if modes[1] == modes[0] else _interp_or_nearest_matrix(coords, cube, modes[1])
+        a = apply_axis_matrix(a, Ma, axis)
+        b = apply_axis_matrix(b, Mb, axis)
+    return a, b
+
+
+def warp_affine_separable_pair(
+    va, vb, A, t, modes=(False, False), out_shape=None, maxspan=None
+):
+    """Pair version of :func:`warp_affine_separable`: five shared UL passes
+    over two volumes with per-operand interpolation modes."""
+    D, H, W = va.shape
+    OD, OH, OW = out_shape if out_shape is not None else (D, H, W)
+    ms = maxspan or MAXSPAN_U
+    U, L = ul_decompose(A)
+    t = jnp.asarray(t, jnp.float32)
+    a = va.astype(jnp.float32)
+    b = vb.astype(jnp.float32)
+
+    def tp(x, p):
+        return jnp.transpose(x, p)
+
+    a, b = hat_pass_pair(a, b, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), ms, out_len=OW, modes=modes)
+    a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
+    a, b = hat_pass_pair(a, b, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, OW, H), ms, out_len=OH, modes=modes)
+    a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    a, b = hat_pass_pair(a, b, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (OH, OW, D), ms, out_len=OD, modes=modes)
+    a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    a, b = hat_pass_pair(a, b, (L[1, 0], 0.0, 1.0, 0.0), None, (OD, OW, OH), ms, modes=modes)
+    a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
+    a, b = hat_pass_pair(a, b, (L[2, 0], L[2, 1], 1.0, 0.0), None, (OD, OH, OW), ms, modes=modes)
+    return a, b
+
+
 def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
     """Fused affine + displacement warp: ``out[o] = V[A (o + F(o)) + t']``.
 
@@ -442,7 +876,7 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
     t = jnp.asarray(t, jnp.float32)
     dt = vol.dtype
     v = vol.astype(jnp.float32)
-    lim = MAXSPAN_FIELD / 2.0 - 2.0
+    lim = FIELD_LIM
 
     gx = jnp.clip(Fx, -lim, lim)
     gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
@@ -481,7 +915,9 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
 # window staging, position math, and block overheads — the dominant per-pass
 # fixed costs — between the two operands.
 
-def _hat_pair_kernel(coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, *, S, H_rows, maxspan, with_disp):
+def _hat_pair_kernel(
+    coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, *, S, H_rows, maxspan, with_disp, modes=(False, True)
+):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
     ci, cj, ck, bias = (coef_ref[0, i] for i in range(4))
@@ -518,13 +954,19 @@ def _hat_pair_kernel(coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, *, S, H
 
     acc_a = jnp.zeros((B, 128), jnp.float32)
     acc_b = jnp.zeros((B, 128), jnp.float32)
-    d0 = rel - n0.astype(jnp.float32)
-    ri_rel = jnp.round(pos) - lanes_f - n0.astype(jnp.float32)
+    d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
+    ri_rel = jnp.clip(jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
     for m in range(maxspan):
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
-        acc_a = acc_a + wgt * wa[:, m : m + 128]
         nsel = ri_rel == float(m)
-        acc_b = jnp.where(nsel, wb[:, m : m + 128], acc_b)
+        if modes[0]:
+            acc_a = jnp.where(nsel, wa[:, m : m + 128], acc_a)
+        else:
+            acc_a = acc_a + wgt * wa[:, m : m + 128]
+        if modes[1]:
+            acc_b = jnp.where(nsel, wb[:, m : m + 128], acc_b)
+        else:
+            acc_b = acc_b + wgt * wb[:, m : m + 128]
 
     oa_ref[:] = jnp.where(
         sat_lo, xa_ref[:, PAD][:, None], jnp.where(sat_hi, xa_ref[:, PAD + S - 1][:, None], acc_a)
@@ -534,24 +976,37 @@ def _hat_pair_kernel(coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, *, S, H
     )
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "maxspan", "out_len"))
-def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None):
-    """One axis pass over TWO volumes: ``va`` linear, ``vb`` nearest."""
+@functools.partial(jax.jit, static_argnames=("shape", "maxspan", "out_len", "modes"))
+def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True)):
+    """One axis pass over TWO volumes sharing positions; per-operand mode
+    (False = linear, True = nearest). Default (linear, nearest) serves the
+    image+segmentation pair; (linear, linear) serves value+weight chains."""
     D, H, W = shape
     OW = W if out_len is None else out_len
     R = D * H
     coefs_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
 
-    if not _use_pallas() or R % BLOCK_ROWS or W % 128 or OW % 128:
-        a = hat_pass(va, coefs, disp, shape, maxspan, False, out_len=out_len)
-        b = hat_pass(vb, coefs, disp, shape, maxspan, True, out_len=out_len)
+    if _use_pallas() and _v2_ok(R, W, OW, H, maxspan):
+        oa, ob = _hat_pass_v2_call(
+            [va, vb], list(modes), coefs_arr, disp, shape, maxspan, out_len
+        )
+        return oa, ob
+
+    if not _use_pallas() or not _v1_ok(R, W, OW, H):
+        a = hat_pass(va, coefs, disp, shape, maxspan, modes[0], out_len=out_len)
+        b = hat_pass(vb, coefs, disp, shape, maxspan, modes[1], out_len=out_len)
         return a, b
 
     xa = _pad_rows(va.reshape(R, W))
     xb = _pad_rows(vb.reshape(R, W))
     with_disp = disp is not None
     kernel = functools.partial(
-        _hat_pair_kernel, S=W, H_rows=H, maxspan=maxspan, with_disp=with_disp
+        _hat_pair_kernel,
+        S=W,
+        H_rows=H,
+        maxspan=max(maxspan, V1_MINSPAN),
+        with_disp=with_disp,
+        modes=tuple(modes),
     )
     disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
     disp_spec = (
@@ -590,7 +1045,7 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     t = jnp.asarray(t, jnp.float32)
     a = va.astype(jnp.float32)
     b = vb.astype(jnp.float32)
-    lim = MAXSPAN_FIELD / 2.0 - 2.0
+    lim = FIELD_LIM
     gx = jnp.clip(Fx, -lim, lim)
     gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
     gz = jnp.clip(L[2, 0] * Fx + L[2, 1] * Fy + Fz, -lim, lim)

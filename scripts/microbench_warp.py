@@ -1,0 +1,234 @@
+"""Microbenchmark the warp hot path on the real TPU.
+
+Times individual ops with the chained-fori_loop methodology (device-side
+time; host block_until_ready is unreliable on tunneled platforms).
+
+Usage: python scripts/microbench_warp.py --variant pair_l --iters 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters):
+    """fn must map carry -> carry (same pytree shape). Returns sec/iter."""
+
+    @jax.jit
+    def chain(c):
+        return jax.lax.fori_loop(0, iters, lambda i, c: fn(c), c)
+
+    out = chain(*args)
+    probe = float(jnp.sum(jax.tree.leaves(out)[0][..., ::64, ::64]))  # sync
+    t0 = time.perf_counter()
+    out = chain(*args)
+    probe = float(jnp.sum(jax.tree.leaves(out)[0][..., ::64, ::64]))
+    dt = time.perf_counter() - t0
+    return dt / iters, probe
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", required=True)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--size", type=int, default=256)
+    args = ap.parse_args()
+
+    from fetalsyngen_tpu.ops import warp as W
+
+    S = args.size
+    B = args.batch
+    shape = (S, S, S)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, *shape)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, *shape)), jnp.float32)
+    d = jnp.asarray(rng.uniform(-8, 8, size=(B, *shape)), jnp.float32)
+
+    v = args.variant
+
+    if v == "pair_l":  # L-type pass with disp (field pass)
+        fn = jax.vmap(
+            lambda a, b, dd: W.hat_pass_pair(
+                a, b, (0.11, 0.07, 1.0, 0.3), dd, shape, W.MAXSPAN_FIELD
+            )
+        )
+        sec, _ = timeit(lambda c: (*fn(c[0], c[1], c[2])[:2], c[2]), (x, y, d), iters=args.iters)
+    elif v == "pair_l_nodisp":  # plain L pass
+        fn = jax.vmap(
+            lambda a, b: W.hat_pass_pair(a, b, (0.11, 0.07, 1.0, 0.3), None, shape, W.MAXSPAN_L)
+        )
+        sec, _ = timeit(lambda c: fn(c[0], c[1]), (x, y), iters=args.iters)
+    elif v == "pair_u":  # U pass (non-unit slope)
+        fn = jax.vmap(
+            lambda a, b: W.hat_pass_pair(a, b, (0.05, 0.1, 1.08, -9.0), None, shape, W.MAXSPAN_U)
+        )
+        sec, _ = timeit(lambda c: fn(c[0], c[1]), (x, y), iters=args.iters)
+    elif v == "single_l":
+        fn = jax.vmap(
+            lambda a, dd: W.hat_pass(a, (0.11, 0.07, 1.0, 0.3), dd, shape, W.MAXSPAN_FIELD, False)
+        )
+        sec, _ = timeit(lambda c: (fn(c[0], c[1]), c[1]), (x, d), iters=args.iters)
+    elif v == "transpose":
+        fn = lambda a: jnp.transpose(a, (0, 1, 3, 2)) + 0.0
+        sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    elif v == "pad":
+        R = S * S
+
+        def fn(a):
+            p = jnp.pad(a.reshape(B, R, S), ((0, 0), (0, 0), (W.PAD, W.PAD + 128)), mode="edge")
+            return p[:, :, W.PAD : W.PAD + S].reshape(B, *shape)
+
+        sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    elif v == "deform_pair":  # the full 6-pass fused affine+field warp
+        A = jnp.asarray(np.eye(3) + rng.normal(size=(3, 3)) * 0.05, jnp.float32)
+        t = jnp.zeros(3, jnp.float32)
+
+        def one(a, b, f):
+            oa, ob = W.warp_affine_field_pair(a, b, A, t, f, f, f)
+            return oa, ob
+
+        fn = jax.vmap(one)
+        sec, _ = timeit(lambda c: (*fn(c[0], c[1], c[2]), c[2]), (x, y, d), iters=args.iters)
+    elif v.startswith("probe_"):
+        # Stripped-down kernels isolating v2 cost components.
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        BR, SUBR, PAD = W.BIG_ROWS, W.SUB, W.PAD
+        R = S * S
+        width = S + 2 * PAD + 128
+
+        def probe_kernel(x_ref, o_ref, s_ref, *, mode):
+            if mode == "copy":
+                o_ref[:] = x_ref[:] * 2.0
+                return
+            s_ref[:, PAD : PAD + S] = x_ref[:]
+            s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (BR, PAD))
+            s_ref[:, PAD + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (BR, width - PAD - S))
+            if mode == "stage":
+                o_ref[:] = s_ref[:, PAD : PAD + S]
+                return
+            n_lane = S // 128
+            n_tiles = (BR // SUBR) * n_lane
+
+            def tile(ti, c):
+                si = ti // n_lane
+                h = ti - si * n_lane
+                row0 = pl.multiple_of(si * SUBR, SUBR)
+                lane0 = pl.multiple_of(h * 128, 128)
+                pos = (
+                    0.11 * jax.lax.broadcasted_iota(jnp.float32, (SUBR, 128), 0)
+                    + (lane0 + jax.lax.broadcasted_iota(jnp.int32, (SUBR, 128), 1)).astype(jnp.float32)
+                )
+                n0 = jnp.floor(jnp.min(pos - pos)).astype(jnp.int32)  # 0, but traced
+                base = jnp.clip(PAD + lane0 + n0, 0, width - 384)
+                q = base // 128
+                off = base - q * 128
+                win = s_ref[pl.ds(row0, SUBR), pl.ds(pl.multiple_of(q * 128, 128), 384)]
+                if mode == "ladder":
+                    for b in range(7):
+                        bit = ((off >> b) & 1) == 1
+                        win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
+                    acc = win[:, 0:128]
+                elif mode == "tiles":
+                    acc = win[:, 0:128] + 0.0 * pos
+                else:  # sweep12: ladder + 12 taps
+                    for b in range(7):
+                        bit = ((off >> b) & 1) == 1
+                        win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
+                    d0 = pos - jnp.floor(pos)
+                    acc = jnp.zeros((SUBR, 128), jnp.float32)
+                    for m in range(12):
+                        acc = acc + jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m))) * win[:, m : m + 128]
+                o_ref[pl.ds(row0, SUBR), pl.ds(lane0, 128)] = acc
+                return c
+
+            if os.environ.get("FSG_WARP_UNROLL") == "1":
+                for ti in range(n_tiles):
+                    tile(ti, 0)
+            else:
+                jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+        mode = v[len("probe_") :]
+        call = pl.pallas_call(
+            ft.partial(probe_kernel, mode=mode),
+            out_shape=jax.ShapeDtypeStruct((R, S), jnp.float32),
+            grid=(R // BR,),
+            in_specs=[pl.BlockSpec((BR, S), lambda r: (r, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((BR, S), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((BR, width), jnp.float32)],
+        )
+        fn = jax.vmap(lambda a: call(a.reshape(R, S)).reshape(shape))
+        sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    elif v == "gather_table":  # intensity_stage's per-element table gather
+        seeds = jnp.asarray(rng.integers(0, 50, size=(B, *shape)), jnp.int32)
+        table = jnp.asarray(rng.normal(size=50), jnp.float32)
+
+        def fn(c):
+            mu = jnp.take(table, c.reshape(-1)).reshape(c.shape)
+            return c + (mu < -10).astype(jnp.int32)
+
+        sec, _ = timeit(fn, seeds, iters=args.iters)
+    elif v == "onehot_sweep":  # label-sweep alternative to the gather
+        seeds = jnp.asarray(rng.integers(0, 50, size=(B, *shape)), jnp.int32)
+        table = jnp.asarray(rng.normal(size=50), jnp.float32)
+        table2 = jnp.asarray(rng.normal(size=50), jnp.float32)
+
+        def fn(c):
+            mu = jnp.zeros(c.shape, jnp.float32)
+            sg = jnp.zeros(c.shape, jnp.float32)
+            for l in range(50):
+                sel = c == l
+                mu = jnp.where(sel, table[l], mu)
+                sg = jnp.where(sel, table2[l], sg)
+            return c + (mu + sg < -100).astype(jnp.int32)
+
+        sec, _ = timeit(fn, seeds, iters=args.iters)
+    elif v == "randn":  # one voxel-field normal draw
+        key = jax.random.PRNGKey(0)
+
+        def fn(c):
+            k = jax.random.fold_in(key, jnp.int32(jnp.sum(c[0, 0, 0, :1])))
+            return c + jax.random.normal(k, c.shape, jnp.float32)
+
+        sec, _ = timeit(fn, x, iters=args.iters)
+    elif v == "batched_matmul":  # per-j (D,S)@(S,OW) batched matmul (affine pass)
+        M = jnp.asarray(rng.normal(size=(S, S, S)), jnp.float32)  # (j, k, s)
+
+        def fn(c):
+            return jnp.einsum(
+                "jks,bjsw->bjkw",
+                M,
+                c.reshape(B, S, S, S).transpose(0, 2, 1, 3),
+                precision=jax.lax.Precision.DEFAULT,
+            ).transpose(0, 2, 1, 3)
+
+        sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    elif v == "matmul":  # reference point: one separable axis matmul
+        M = jnp.asarray(rng.normal(size=(S, S)), jnp.float32)
+        fn = lambda a: jnp.einsum("oi,bijk->bojk", M, a, precision=jax.lax.Precision.HIGHEST)
+        sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    else:
+        raise SystemExit(f"unknown variant {v}")
+
+    per_vol = sec / B
+    print(
+        f"{v}: {sec*1e3:.3f} ms/iter total, {per_vol*1e3:.3f} ms/vol "
+        f"(B={B}, {S}^3, v1_forced={W._FORCE_V1})"
+    )
+
+
+if __name__ == "__main__":
+    main()

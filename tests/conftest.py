@@ -1,6 +1,9 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before the first jax import anywhere in the test session.
+Env vars alone are NOT enough on hosts whose sitecustomize force-registers a
+TPU platform plugin and overwrites ``jax_platforms`` at interpreter start —
+we must override the config again, before any backend initialization (this
+file imports before every test module, so placing it here is sufficient).
 """
 
 import os
@@ -11,3 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
+assert len(jax.devices()) >= 8, "virtual 8-device CPU mesh not active"

@@ -140,3 +140,80 @@ def make_affine_matrix_ref(rot, sh, s):
     A = SHx @ SHy @ SHz @ Rx @ Ry @ Rz
     A = A * np.asarray(s)[:, None]
     return A
+
+
+# ---------------------------------------------------------------------------
+# Slice-acquisition executable spec (reference slice_acq.py:272-430, 499-546)
+# ---------------------------------------------------------------------------
+
+def psf_slice_acquisition_ref(transforms, vol, psf, slice_shape, res_slice, need_weight=False):
+    """``slice_acquisition_torch`` CPU semantics in NumPy.
+
+    transforms: (N, 3, 4) xyz-space trans-first rigids (p = R (x + t)),
+    translations in VOXEL units; vol: (D, H, W) with axes (z, y, x);
+    psf: (pz, py, px) kernel; slice pixels at ``res_slice`` voxel spacing.
+    The reference accumulates the rotated PSF footprint at ROUNDED voxel
+    positions and normalizes by accumulated weight (slice_acq.py:270-309,425).
+    """
+    D, H, W = vol.shape
+    shift = (np.array([W, H, D], np.float64) - 1) / 2.0  # xyz
+    pk = np.argwhere(psf > 0)
+    psf_xyz = np.flip((pk - (np.array(psf.shape) - 1) / 2.0), -1).astype(np.float64)
+    psf_v = psf[psf > 0].astype(np.float64)
+    ss = tuple(slice_shape)
+    pix = np.argwhere(np.ones((1, *ss), bool))
+    pix_xyz = np.flip((pix - (np.array((1, *ss)) - 1) / 2.0) * res_slice, -1)
+    out = np.zeros((len(transforms), *ss), np.float64)
+    wout = np.zeros_like(out)
+    volf = vol.reshape(-1).astype(np.float64)
+    for i, T in enumerate(np.asarray(transforms, np.float64)):
+        R, t = T[:, :3], T[:, 3]
+        sl = (R @ (pix_xyz + t).T).T
+        po = (R @ psf_xyz.T).T
+        pos = shift + po[None] + sl[:, None]  # (npix, npsf, 3)
+        inside = np.all((pos > 0) & (pos < 2 * shift), -1)
+        idx = np.rint(pos).astype(np.int64)
+        flat = (idx[..., 0] + idx[..., 1] * W + idx[..., 2] * (H * W)).clip(0, volf.size - 1)
+        val = np.where(inside, volf[flat] * psf_v[None], 0.0)
+        w = np.where(inside, psf_v[None], 0.0)
+        s, ws = val.sum(1), w.sum(1)
+        m = ws > 1e-2
+        s[m] = s[m] / ws[m]
+        s[~m] = 0.0
+        out[i] = s.reshape(ss)
+        wout[i] = ws.reshape(ss)
+    return (out, wout) if need_weight else out
+
+
+def psf_slice_adjoint_ref(transforms, psf, slices, vol_shape, res_slice, equalize=True):
+    """``slice_acquisition_adjoint_torch`` CPU semantics in NumPy
+    (slice_acq.py:499-546): scatter PSF-weighted slice values, optionally
+    equalize by scattered weight."""
+    D, H, W = vol_shape
+    shift = (np.array([W, H, D], np.float64) - 1) / 2.0
+    pk = np.argwhere(psf > 0)
+    psf_xyz = np.flip((pk - (np.array(psf.shape) - 1) / 2.0), -1).astype(np.float64)
+    psf_v = psf[psf > 0].astype(np.float64)
+    ss = slices.shape[-2:]
+    pix = np.argwhere(np.ones((1, *ss), bool))
+    pix_xyz = np.flip((pix - (np.array((1, *ss)) - 1) / 2.0) * res_slice, -1)
+    vol = np.zeros(D * H * W, np.float64)
+    wvol = np.zeros_like(vol)
+    for i, T in enumerate(np.asarray(transforms, np.float64)):
+        R, t = T[:, :3], T[:, 3]
+        sl = (R @ (pix_xyz + t).T).T
+        po = (R @ psf_xyz.T).T
+        pos = shift + po[None] + sl[:, None]
+        inside = np.all((pos > 0) & (pos < 2 * shift), -1)
+        idx = np.rint(pos).astype(np.int64)
+        flat = (idx[..., 0] + idx[..., 1] * W + idx[..., 2] * (H * W)).clip(0, vol.size - 1)
+        sv = slices[i].reshape(-1)
+        np.add.at(vol, flat[inside], (psf_v[None] * sv[:, None])[inside])
+        np.add.at(wvol, flat[inside], np.broadcast_to(psf_v[None], inside.shape)[inside])
+    vol = vol.reshape(D, H, W)
+    wvol = wvol.reshape(D, H, W)
+    if equalize:
+        m = wvol > 1e-2
+        vol[m] = vol[m] / wvol[m]
+        vol[~m] = 0.0
+    return vol, wvol

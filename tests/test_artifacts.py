@@ -210,13 +210,149 @@ class TestScanner:
                 ),
             ),
         )
-        o, meta = sm(out, seg.astype(np.int32), resolution=(0.5, 0.5, 0.5),
+        # pin the acquisition geometry (dense sampling: gap < thickness) so
+        # the quality bar below is about the engine, not the draw
+        pins = {"resolution_slice": 0.5, "slice_thickness": 1.5, "gap": 1.0}
+        o, meta = sm(out, seg.astype(np.int32), genparams=pins,
+                     resolution=(0.5, 0.5, 0.5),
                      rng=np.random.default_rng(1), key=jax.random.PRNGKey(1))
         o = np.asarray(o)
         assert np.isfinite(o).all()
         c = np.corrcoef(o[8:56, 8:56, 8:56].ravel(), out[8:56, 8:56, 8:56].ravel())[0, 1]
         assert c > 0.9, c
         assert meta["nstacks"] >= 1
+
+        # dict-alone replay: fresh call with ONLY the metadata (no rng/key)
+        # must reproduce the exact volume (the rng_key contract); a pinned
+        # scalar is honored without desynchronizing later draws.
+        o2, meta2 = sm(out, seg.astype(np.int32), genparams=meta, resolution=(0.5, 0.5, 0.5))
+        np.testing.assert_allclose(np.asarray(o2), o, rtol=1e-5, atol=1e-5)
+        assert meta2["resolution_slice"] == meta["resolution_slice"]
+        o3, meta3 = sm(
+            out, seg.astype(np.int32),
+            genparams={**meta, "slice_thickness": meta["slice_thickness"] * 1.3},
+            resolution=(0.5, 0.5, 0.5),
+        )
+        assert meta3["slice_thickness"] == pytest.approx(meta["slice_thickness"] * 1.3)
+        assert meta3["gap"] == meta["gap"]  # later draws unaffected by the pin
+        assert not np.allclose(np.asarray(o3), o)
+
+
+class TestSliceAcqParity:
+    """Voxel-level A/B of the TPU acquisition/adjoint vs the reference's
+    executable spec — the sparse-COO CPU fallback of ``slice_acq_cuda``
+    (reference ``slice_acq.py:272-430, 499-546``), reimplemented in NumPy
+    (``np_reference.psf_slice_acquisition_ref`` / ``psf_slice_adjoint_ref``).
+
+    The spec ROUNDS footprint coordinates where our engine interpolates, so
+    agreement is tolerance-bounded, not bitwise (the reference CPU/CUDA pair
+    differs by the same class of error)."""
+
+    @pytest.fixture(scope="class")
+    def stack_ab(self, small_scanner):
+        from scipy.ndimage import gaussian_filter
+
+        from fetalsyngen_tpu.generator.artifacts.motion import sample_motion
+        from fetalsyngen_tpu.generator.artifacts.transforms import (
+            random_init_stack_transforms,
+        )
+
+        rng = np.random.default_rng(7)
+        shape = (48, 48, 48)
+        base = np.zeros(shape, np.float32)
+        base[10:38, 12:36, 11:37] = 100.0
+        vol = gaussian_filter(
+            base + rng.normal(0, 5, shape).astype(np.float32) * (base > 0), 1.0
+        ).astype(np.float32)
+        mask = (vol > 5).astype(np.float32)
+
+        res, res_s, thick, gap = 0.5, 0.6, 1.5, 1.2
+        rs, gap_vox = res_s / res, gap / res
+        ns = min(int(max(shape) * res / gap) + 2, sc.NS)
+        t_init = random_init_stack_transforms(ns, gap, False, 3.0, rng)
+        t_target = sample_motion(np.arange(ns) * 1.0, rng).compose(t_init)
+        mats_vox = t_target.matrix(True).copy()
+        mats_vox[:, :, 3] /= res
+
+        geo = sc._stack_geometry(t_init.matrix(True)[0, :, :3], mats_vox, shape, ns)
+        z0 = float((sc.SS - 1) / 2.0 - (ns - 1) / 2.0 * gap_vox)
+        sig = jnp.asarray(
+            [sc.GAUSSIAN_FWHM * thick / res, sc.SINC_FWHM * rs, sc.SINC_FWHM * rs],
+            jnp.float32,
+        )
+        q_idx, w_ang, w_scl, w_dlt = geo["fwd"]
+        slices, valid = sc._acquire_stack(
+            jnp.asarray(vol), jnp.asarray(mask),
+            jnp.int32(q_idx), jnp.asarray(w_ang), jnp.float32(w_scl), jnp.asarray(w_dlt),
+            jnp.asarray(geo["G"]), jnp.float32(rs), jnp.float32(gap_vox), jnp.float32(z0),
+            sig, jnp.float32(0.15), jnp.int32(ns),
+            jax.random.PRNGKey(0), jnp.float32(1.0), jnp.asarray(False), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.1), cube=sc.SS, ns_grid=sc.NS,
+        )
+        return dict(
+            vol=vol, shape=shape, ns=ns, rs=rs, gap_vox=gap_vox, z0=z0,
+            thick=thick, res=res, mats_vox=mats_vox, geo=geo,
+            slices=np.asarray(slices), valid=np.asarray(valid) > 0,
+            slices_dev=slices,
+        )
+
+    def test_forward_matches_reference_spec(self, stack_ab):
+        from fetalsyngen_tpu.generator.artifacts.psf import get_psf
+        from np_reference import psf_slice_acquisition_ref
+
+        s = stack_ab
+        psf = get_psf(res_ratio=(s["rs"], s["rs"], s["thick"] / s["res"]))
+        ref = psf_slice_acquisition_ref(
+            s["mats_vox"][: s["ns"]], s["vol"], psf, (sc.SS, sc.SS), s["rs"]
+        )
+        corrs, rels = [], []
+        for n in range(s["ns"]):
+            if not s["valid"][n]:
+                continue
+            r, o = ref[n], s["slices"][n]
+            m = r > r.max() * 0.05
+            if m.sum() < 50:
+                continue
+            corrs.append(np.corrcoef(o[m].ravel(), r[m].ravel())[0, 1])
+            rels.append(np.abs(o[m] - r[m]).mean() / (np.abs(r[m]).mean() + 1e-9))
+        assert len(corrs) >= 10
+        assert min(corrs) > 0.98, min(corrs)
+        assert np.median(rels) < 0.08, np.median(rels)
+        assert max(rels) < 0.2, max(rels)
+
+    def test_adjoint_matches_reference_spec(self, stack_ab):
+        from fetalsyngen_tpu.generator.artifacts.psf import get_psf
+        from np_reference import psf_slice_adjoint_ref
+
+        s = stack_ab
+        geo = s["geo"]
+        sig_rec = jnp.asarray(
+            [sc.GAUSSIAN_FWHM * s["thick"] / s["res"], sc.SINC_FWHM * s["rs"]], jnp.float32
+        )
+        i_q, i_ang, i_scl, i_dlt = sc.decompose_affine_paeth_host(
+            geo["Minv"], -geo["Minv"] @ geo["t_stack"], sc.SS
+        )
+        v_s, w_s = sc._recon_stack(
+            s["slices_dev"], jnp.asarray(s["valid"].astype(np.float32)),
+            jnp.asarray(geo["G"]), jnp.float32(s["rs"]), jnp.float32(s["gap_vox"]),
+            jnp.float32(s["z0"]), sig_rec,
+            jnp.int32(i_q), jnp.asarray(i_ang), jnp.float32(i_scl), jnp.asarray(i_dlt),
+            cube=sc.SS, ns_grid=sc.NS, out_shape=s["shape"],
+        )
+        ours_v, ours_w = np.asarray(v_s), np.asarray(w_s)
+        recon_ours = np.where(ours_w > 1e-2, ours_v / np.where(ours_w > 1e-2, ours_w, 1), 0)
+
+        psf_rec = get_psf(res_ratio=(s["rs"], s["rs"], s["thick"] / s["res"]))
+        ref_in = s["slices"][: s["ns"]] * s["valid"][: s["ns"], None, None]
+        ref_vol, ref_w = psf_slice_adjoint_ref(
+            s["mats_vox"][: s["ns"]], psf_rec, ref_in, s["shape"], s["rs"], equalize=True
+        )
+        m = (ref_w > 0.5) & (ours_w > 0.5)
+        assert m.sum() > 5000
+        c = np.corrcoef(recon_ours[m].ravel(), ref_vol[m].ravel())[0, 1]
+        rel = np.abs(recon_ours[m] - ref_vol[m]).mean() / (np.abs(ref_vol[m]).mean() + 1e-9)
+        assert c > 0.97, c
+        assert rel < 0.15, rel
 
 
 class TestQualityArtifacts:

@@ -148,6 +148,99 @@ class TestConfigSystem:
         assert item["image"].shape == (1, *SHAPE)
 
 
+class TestGenerateAugment:
+    """Standalone ``generate``/``augment`` public methods
+    (reference ``model.py:94-159`` / ``:161-229``)."""
+
+    def test_generate_then_augment_equals_sample(self, bids_root):
+        import jax
+
+        from fetalsyngen_tpu.io import nifti
+
+        gen = small_generator()
+        ds = FetalSynthDataset(
+            str(bids_root), gen, str(bids_root / "derivatives" / "seeds")
+        )
+        seg = nifti.load_ras(ds.segm_paths[0]).data
+        seeds = ds.seed_paths[SUBJECTS[0]]
+        key = jax.random.PRNGKey(7)
+
+        out_s, seg_s, _, params_s = gen.sample(None, seg, seeds, key=key)
+        out_g, seg_g, _, params_g = gen.generate(None, seg, seeds, key=key)
+        out_a, params_a = gen.augment(out_g, seg_g, key=key)
+
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_s), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(seg_g), np.asarray(seg_s))
+        assert "deform_params" in params_g and "gamma_params" not in params_g
+        assert "gamma_params" in params_a and "deform_params" not in params_a
+        assert params_g["selected_seeds"] == params_s["selected_seeds"]
+
+    def test_generate_replays_from_params(self, bids_root):
+        import jax
+
+        from fetalsyngen_tpu.io import nifti
+
+        gen = small_generator()
+        ds = FetalSynthDataset(
+            str(bids_root), gen, str(bids_root / "derivatives" / "seeds")
+        )
+        seg = nifti.load_ras(ds.segm_paths[0]).data
+        seeds = ds.seed_paths[SUBJECTS[0]]
+
+        out1, seg1, _, params = gen.generate(None, seg, seeds, key=jax.random.PRNGKey(3))
+        out2, seg2, _, _ = gen.generate(None, seg, seeds, genparams=params)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(seg2), np.asarray(seg1))
+
+
+class TestArtifactReplayEndToEnd:
+    def test_dataset_replay_with_artifacts(self, bids_root):
+        """Full dataset replay including the SR-artifact chain — the path
+        the production synth_train.yaml config exercises."""
+        import fetalsyngen_tpu.generator.artifacts.scanner as sc
+        from fetalsyngen_tpu.generator.artifacts.quality import (
+            BlurCortex,
+            ReconMergeParams,
+        )
+
+        old = (sc.SS, sc.ZS, sc.NS)
+        sc.SS = sc.ZS = 64
+        sc.NS = 32
+        try:
+            gen = small_generator()
+            gen.artifacts["blur_cortex"] = BlurCortex(
+                prob=1.0, cortex_label=2, nblur_min=3, nblur_max=6
+            )
+            gen.artifacts["simulate_motion"] = sc.SimulateMotion(
+                prob=1.0,
+                scanner_params=sc.ScannerParams(
+                    1.0, 1.5, 2.0, 1.0, 1.5, 1.0, 1.5, 1, 1, 200, 0, 0.0, 1, 1,
+                    0.0, 0.0, 0.05, None, False, 0.0,
+                ),
+                recon_params=sc.ReconParams(
+                    0.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.1, 0.4, 0.0,
+                    ReconMergeParams(
+                        "perlin", perlin_res_list=[1], perlin_octaves_list=[1],
+                        perlin_persistence=0.5, perlin_lacunarity=2,
+                        perlin_increase_size=0.25,
+                    ),
+                ),
+            )
+            ds = FetalSynthDataset(
+                str(bids_root), gen, str(bids_root / "derivatives" / "seeds")
+            )
+            first = ds.sample_with_meta(0)
+            replay = ds.sample_with_meta(0, genparams=first["generation_params"])
+            np.testing.assert_allclose(
+                replay["image"], first["image"], rtol=1e-4, atol=1e-5
+            )
+            np.testing.assert_array_equal(replay["label"], first["label"])
+        finally:
+            sc.SS, sc.ZS, sc.NS = old
+
+
 class TestGenparamsSerialization:
     def test_genparams_json_roundtrip(self, bids_root):
         """generation_params must serialize to JSON (the test.py dump path)
