@@ -782,11 +782,48 @@ def _shear_pass_pair(va, vb, axis_move, axis_fix, amount, bias, modes):
 
 
 def _paeth3_pair(a, b, sh1, sh2, axis, modes):
-    """Paeth shear trio on a volume pair (traced shear amounts)."""
+    """Paeth shear trio on a volume pair (traced shear amounts), each shear a
+    batched MXU matmul."""
     u, v = _PLANE[axis]
-    a, b = _shear_pass_pair(a, b, u, v, sh1, 0.0, modes)
-    a, b = _shear_pass_pair(a, b, v, u, sh2, 0.0, modes)
-    return _shear_pass_pair(a, b, u, v, sh1, 0.0, modes)
+    a, b = _shear_pass_pair_mm(a, b, u, v, sh1, 0.0, modes)
+    a, b = _shear_pass_pair_mm(a, b, v, u, sh2, 0.0, modes)
+    return _shear_pass_pair_mm(a, b, u, v, sh1, 0.0, modes)
+
+
+def _shear_matrices(J, K, S, amount, bias, c_fix, modes):
+    """(J, K, S) banded shear operators M[j,k,s] = hat(pos(j,k) - s) with
+    edge-clamped positions; one per distinct interpolation mode."""
+    jj = jax.lax.broadcasted_iota(jnp.float32, (J, 1, 1), 0)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (1, K, 1), 1)
+    ss = jax.lax.broadcasted_iota(jnp.float32, (1, 1, S), 2)
+    pos = jnp.clip(kk + amount * (jj - c_fix) + bias, 0.0, S - 1.0)
+    out = {}
+    for nearest in set(modes):
+        if nearest:
+            out[nearest] = (jnp.round(pos) == ss).astype(jnp.float32)
+        else:
+            out[nearest] = jnp.maximum(0.0, 1.0 - jnp.abs(pos - ss))
+    return out
+
+
+def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
+    """Pair shear as a BATCHED MXU MATMUL (one (K,S) operator per axis_fix
+    row, shared by both operands): ~10x cheaper than a hat pass at 384^3.
+
+    pos[axis_move] = idx + amount * centered(axis_fix) + bias.
+    """
+    shape = va.shape
+    axis_other = next(a for a in range(3) if a not in (axis_move, axis_fix))
+    perm = (axis_other, axis_fix, axis_move)
+    inv = tuple(np.argsort(perm))
+    xa = jnp.transpose(va, perm)
+    xb = jnp.transpose(vb, perm)
+    J, K = xa.shape[1], xa.shape[2]
+    Ms = _shear_matrices(J, K, K, amount, bias, (shape[axis_fix] - 1) / 2.0, modes)
+    prec = jax.lax.Precision.HIGHEST
+    oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
+    ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
+    return jnp.transpose(oa, inv), jnp.transpose(ob, inv)
 
 
 def _interp_or_nearest_matrix(coords, in_size, nearest):

@@ -48,12 +48,23 @@ def compose_seeds(bank: jnp.ndarray, choices: jnp.ndarray) -> jnp.ndarray:
 
 
 class SeedBankCache:
-    """Host->HBM seed bank cache keyed by subject name."""
+    """Host->HBM seed bank LRU cache keyed by subject name.
 
-    def __init__(self, seed_paths: dict, capacity: int = 8):
+    Eviction is by a BYTE budget, not a subject count: a full bank is
+    ``n_options * 4 * D*H*W`` int8 (~400 MB for 6 options at 256^3), and a
+    16 GB v5e chip also holds the pipeline buffers — a count-based cap could
+    silently eat several GB of HBM.
+    """
+
+    def __init__(self, seed_paths: dict, max_bytes: int = 1_200_000_000):
         self.seed_paths = seed_paths
-        self.capacity = capacity
+        self.max_bytes = max_bytes
         self._cache: collections.OrderedDict[str, jnp.ndarray] = collections.OrderedDict()
+        self._bytes = 0
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
 
     def options(self, name: str) -> list[int]:
         return sorted(self.seed_paths[name].keys())
@@ -74,8 +85,10 @@ class SeedBankCache:
         )
         arr = jnp.asarray(vols)
         self._cache[name] = arr
-        if len(self._cache) > self.capacity:
-            self._cache.popitem(last=False)
+        self._bytes += vols.nbytes
+        while self._bytes > self.max_bytes and len(self._cache) > 1:
+            _, evicted = self._cache.popitem(last=False)
+            self._bytes -= evicted.size  # int8: 1 byte/elem
         return arr
 
 

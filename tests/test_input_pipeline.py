@@ -33,12 +33,18 @@ def test_compose_seeds_matches_host_sum(dataset):
     np.testing.assert_array_equal(got, want)
 
 
-def test_bank_cache_evicts(dataset):
-    cache = SeedBankCache(dataset.seed_paths, capacity=1)
+def test_bank_cache_evicts_by_bytes(dataset):
     names = sorted(dataset.seed_paths.keys())
+    one_bank_bytes = None
+    cache = SeedBankCache(dataset.seed_paths)
+    one_bank_bytes = np.asarray(cache.bank(names[0])).nbytes
+    # budget fits exactly one bank -> loading a second evicts the first
+    cache = SeedBankCache(dataset.seed_paths, max_bytes=one_bank_bytes)
     cache.bank(names[0])
     cache.bank(names[1])
     assert len(cache._cache) == 1
+    assert cache.nbytes <= one_bank_bytes
+    assert names[1] in cache._cache
 
 
 def test_stream_yields_batches(dataset):
