@@ -187,18 +187,26 @@ class StructNoise:
         self.merge_params = merge_params
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("shape", "nstages"))
-    def _multiscale_noise(key, shape, nstages):
+    @partial(jax.jit, static_argnames=("shape", "nmax"))
+    def _multiscale_noise(key, shape, nstages, nmax):
         """Pyramid noise (artifacts.py:308-322): accumulate randn at doubling
         scales with trilinear upsampling (align_corners=False equivalent:
-        myzoom-style zoom)."""
+        myzoom-style zoom).
+
+        ``nstages`` is TRACED (randomized per sample): the pyramid always
+        spans ``nmax`` (static) doublings and stages outside the last
+        ``nstages`` are gated off — one compiled program serves every draw.
+        """
         from ...ops.linops import zoom_mm
 
-        cur_shape = tuple(s // 2**nstages for s in shape)
+        cur_shape = tuple(max(s // 2**nmax, 1) for s in shape)
         noise = jnp.zeros(cur_shape, jnp.float32)
-        for k in range(nstages):
-            noise = noise + jax.random.normal(jax.random.fold_in(key, k), cur_shape)
-            next_shape = tuple(s // 2 ** (nstages - 1 - k) for s in shape)
+        for k in range(nmax):
+            gate = ((nmax - k) <= nstages).astype(jnp.float32)
+            noise = noise + gate * jax.random.normal(
+                jax.random.fold_in(key, k), cur_shape
+            )
+            next_shape = tuple(max(s // 2 ** (nmax - 1 - k), 1) for s in shape)
             factor = jnp.array(
                 [n / c for n, c in zip(next_shape, cur_shape)], jnp.float32
             )
@@ -218,7 +226,10 @@ class StructNoise:
             output = jnp.asarray(output, jnp.float32)
             seg = jnp.asarray(seg)
 
-            noise = self._multiscale_noise(jax.random.fold_in(key, 1), output.shape, nstages)
+            noise = self._multiscale_noise(
+                jax.random.fold_in(key, 1), output.shape, jnp.int32(nstages),
+                self.nstages_max,
+            )
             noisy = jnp.clip(output + noise_std * noise, 0, output.max() * 2)
 
             meta = {"nstages": nstages, "noise_std": noise_std}
@@ -230,10 +241,11 @@ class StructNoise:
                     jax.random.fold_in(key, 2),
                     output.shape,
                     (res, res, res),
-                    octaves=octave,
+                    octaves=jnp.int32(octave),
                     persistence=mp.perlin_persistence,
                     lacunarity=mp.perlin_lacunarity,
                     increase=mp.perlin_increase_size,
+                    max_octaves=int(max(mp.perlin_octaves_list)),
                 )
                 meta.update({"res": res, "octave": octave})
             else:  # gaussian

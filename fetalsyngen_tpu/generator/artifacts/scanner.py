@@ -799,10 +799,11 @@ class PSFReconstructor:
                     jax.random.fold_in(key, 7),
                     shape,
                     (s["res"], s["res"], s["res"]),
-                    octaves=s["octave"],
+                    octaves=jnp.int32(s["octave"]),
                     persistence=mp.perlin_persistence,
                     lacunarity=mp.perlin_lacunarity,
                     increase=mp.perlin_increase_size,
+                    max_octaves=int(max(mp.perlin_octaves_list)),
                 )
             else:
                 ng = s["ngaussians_merge"]

@@ -86,22 +86,32 @@ def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int,
     return n0 * (1 - t2) + t2 * n1
 
 
-@partial(jax.jit, static_argnames=("shape", "res", "octaves", "lacunarity"))
+@partial(jax.jit, static_argnames=("shape", "res", "lacunarity", "max_octaves"))
 def fractal_noise_3d(
     key: jax.Array,
     shape: tuple[int, int, int],
     res: tuple[int, int, int],
-    octaves: int = 1,
+    octaves=1,
     persistence: float = 0.5,
     lacunarity: int = 2,
     increase: float = 0.0,
+    max_octaves: int = 4,
 ):
-    """Multi-octave Perlin, normalized to [0, 1] (``utils.py:330-388``)."""
+    """Multi-octave Perlin, normalized to [0, 1] (``utils.py:330-388``).
+
+    ``octaves`` may be TRACED (the randomized draws change per sample) — the
+    loop runs ``max_octaves`` (static) times with amplitudes masked, so one
+    compiled program serves every octave count instead of recompiling per
+    draw.
+    """
     noise = jnp.zeros(shape, jnp.float32)
     frequency = 1
     amplitude = 1.0
-    for o in range(octaves):
-        noise += amplitude * perlin_noise_3d(
+    for o in range(max_octaves):
+        if any(s % (frequency * r) or frequency * r > s for s, r in zip(shape, res)):
+            break  # lattice no longer divides the grid — octave unreachable
+        gate = (o < jnp.asarray(octaves)).astype(jnp.float32)
+        noise += gate * amplitude * perlin_noise_3d(
             jax.random.fold_in(key, o),
             shape,
             tuple(frequency * r for r in res),
@@ -131,14 +141,17 @@ def mog_3d(
     if valid is None:
         valid = jnp.ones(centers.shape[0], bool)
 
-    gi = jnp.arange(shape[0], dtype=jnp.float32)[:, None, None]
-    gj = jnp.arange(shape[1], dtype=jnp.float32)[None, :, None]
-    gk = jnp.arange(shape[2], dtype=jnp.float32)[None, None, :]
+    # An axis-aligned Gaussian factorizes per axis, so the mixture is a rank-N
+    # tensor contraction: exp evaluations drop from N*D*H*W (a scan of full
+    # volumes — ~3.3e9 exps for 200 centers at 256^3, seconds of VPU
+    # transcendentals) to N*(D+H+W), and the accumulation lands on the MXU.
+    def axis_factor(axis):
+        g = jnp.arange(shape[axis], dtype=jnp.float32)[None, :]
+        return jnp.exp(-0.5 * ((g - centers[:, axis : axis + 1]) / sigmas[:, axis : axis + 1]) ** 2)
 
-    def body(acc, args):
-        c, s, v = args
-        d = ((gi - c[0]) / s[0]) ** 2 + ((gj - c[1]) / s[1]) ** 2 + ((gk - c[2]) / s[2]) ** 2
-        return acc + jnp.where(v, jnp.exp(-d / 2.0), 0.0), None
-
-    acc, _ = jax.lax.scan(body, jnp.zeros(shape, jnp.float32), (centers, sigmas, valid))
+    fx = axis_factor(0) * valid[:, None]  # (N, D)
+    fy = axis_factor(1)  # (N, H)
+    fz = axis_factor(2)  # (N, W)
+    t = fx[:, :, None] * fy[:, None, :]  # (N, D, H)
+    acc = jnp.einsum("ndh,nw->dhw", t, fz, precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(acc, 0.0, 1.0)
