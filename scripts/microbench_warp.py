@@ -226,7 +226,7 @@ def main():
     per_vol = sec / B
     print(
         f"{v}: {sec*1e3:.3f} ms/iter total, {per_vol*1e3:.3f} ms/vol "
-        f"(B={B}, {S}^3, v1_forced={W._FORCE_V1})"
+        f"(B={B}, {S}^3, v2_forced={W._FORCE_V2})"
     )
 
 
