@@ -790,13 +790,15 @@ def _paeth3_pair(a, b, sh1, sh2, axis, modes):
     return _shear_pass_pair_mm(a, b, u, v, sh1, 0.0, modes)
 
 
-def _shear_matrices(J, K, S, amount, bias, c_fix, modes):
-    """(J, K, S) banded shear operators M[j,k,s] = hat(pos(j,k) - s) with
-    edge-clamped positions; one per distinct interpolation mode."""
+def _shear_matrices(J, K, S, amount, bias, c_fix, modes, slope=1.0):
+    """(J, K, S) banded per-row resampling operators
+    ``M[j,k,s] = hat(pos(j,k) - s)``, ``pos = slope*k + amount*(j - c_fix) +
+    bias``, edge-clamped; one matrix stack per distinct interpolation mode.
+    """
     jj = jax.lax.broadcasted_iota(jnp.float32, (J, 1, 1), 0)
     kk = jax.lax.broadcasted_iota(jnp.float32, (1, K, 1), 1)
     ss = jax.lax.broadcasted_iota(jnp.float32, (1, 1, S), 2)
-    pos = jnp.clip(kk + amount * (jj - c_fix) + bias, 0.0, S - 1.0)
+    pos = jnp.clip(slope * kk + amount * (jj - c_fix) + bias, 0.0, S - 1.0)
     out = {}
     for nearest in set(modes):
         if nearest:
@@ -804,6 +806,25 @@ def _shear_matrices(J, K, S, amount, bias, c_fix, modes):
         else:
             out[nearest] = jnp.maximum(0.0, 1.0 - jnp.abs(pos - ss))
     return out
+
+
+def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None):
+    """Resample the LAST axis of a pair at ``pos = slope*k + amount*row_j +
+    bias`` (row_j = raw middle-axis index) via a batched MXU matmul —
+    identical semantics to a ``hat_pass_pair`` whose position map has no
+    displacement and no row_i term, at ~10x lower cost.
+
+    x layouts: (I, J, S) -> (I, J, out_len or S).
+    """
+    J, S = xa.shape[1], xa.shape[2]
+    OK = S if out_len is None else out_len
+    # raw row index: fold into the centered builder via bias' = bias + amount*c
+    c_fix = (J - 1) / 2.0
+    Ms = _shear_matrices(J, OK, S, amount, bias + amount * c_fix, c_fix, modes, slope=slope)
+    prec = jax.lax.Precision.HIGHEST
+    oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
+    ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
+    return oa, ob
 
 
 def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
@@ -1076,12 +1097,18 @@ def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(Fals
 
 def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     """Fused affine+field warp of (linear, nearest) volume pair — 6 shared
-    passes (see :func:`warp_affine_field_separable`)."""
+    passes (see :func:`warp_affine_field_separable`).
+
+    The U-z and U-y passes carry no displacement and no row_i term, so they
+    run as (batched) MXU matmuls; U-x (two row terms) and the three
+    displacement-carrying L passes use the hat kernel.
+    """
     D, H, W = va.shape
     U, L = ul_decompose(A)
     t = jnp.asarray(t, jnp.float32)
     a = va.astype(jnp.float32)
     b = vb.astype(jnp.float32)
+    modes = (False, True)
     lim = FIELD_LIM
     gx = jnp.clip(Fx, -lim, lim)
     gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
@@ -1090,10 +1117,14 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     def tp(x, p):
         return jnp.transpose(x, p)
 
-    a, b = hat_pass_pair(a, b, (0.0, 0.0, U[2, 2], t[2]), None, (D, H, W), MAXSPAN_U)
+    # U-z: pos_k = U22*k + t2 (lanes only) — batched matmul, amount 0
+    a, b = _row_affine_matmul_pair(a, b, U[2, 2], 0.0, t[2], modes)
     a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
-    a, b = hat_pass_pair(a, b, (0.0, U[1, 2], U[1, 1], t[1]), None, (D, W, H), MAXSPAN_U)
+    # U-y on (i, k, j): pos_j = U12*k + U11*j + t1 — batched matmul over k
+    a, b = _row_affine_matmul_pair(a, b, U[1, 1], U[1, 2], t[1], modes)
     a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    # U-x on (j, k, i): pos_i = U01*j + U02*k + U00*i + t0 — two row terms,
+    # hat kernel
     a, b = hat_pass_pair(a, b, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (H, W, D), MAXSPAN_U)
     a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
     a, b = hat_pass_pair(
