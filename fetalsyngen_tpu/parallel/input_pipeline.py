@@ -69,20 +69,39 @@ class SeedBankCache:
     def options(self, name: str) -> list[int]:
         return sorted(self.seed_paths[name].keys())
 
+    def _load_all(self, name: str) -> np.ndarray:
+        """Decode every (option, meta-label) seed volume for one subject.
+
+        The hot path uses the native C++ batch loader (zlib + pthread pool,
+        ``io/native``) with RAS reorientation applied host-side; falls back to
+        the pure-Python reader when the native library is unavailable.
+        """
+        from ..io import native
+
+        per_sub = self.seed_paths[name]
+        opts = self.options(name)
+        paths = [str(per_sub[n][m]) for n in opts for m in range(1, 5)]
+        shape = None
+        arrs = None
+        if native.available():
+            probe = nifti.load(paths[0])
+            raw = native.load_labels_batch(paths, probe.data.shape)
+            if raw is not None:
+                arrs = [
+                    nifti.to_ras(a, probe.affine)[0].astype(np.int8) for a in raw
+                ]
+        if arrs is None:
+            arrs = [nifti.load_ras(p).data.astype(np.int8) for p in paths]
+        n_m = 4
+        return np.stack(
+            [np.stack(arrs[i * n_m : (i + 1) * n_m]) for i in range(len(opts))]
+        )
+
     def bank(self, name: str) -> jnp.ndarray:
         if name in self._cache:
             self._cache.move_to_end(name)
             return self._cache[name]
-        per_sub = self.seed_paths[name]
-        opts = self.options(name)
-        vols = np.stack(
-            [
-                np.stack(
-                    [nifti.load_ras(str(per_sub[n][m])).data.astype(np.int8) for m in range(1, 5)]
-                )
-                for n in opts
-            ]
-        )
+        vols = self._load_all(name)
         arr = jnp.asarray(vols)
         self._cache[name] = arr
         self._bytes += vols.nbytes
