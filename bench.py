@@ -87,17 +87,82 @@ def bench_artifacts(shape_edge: int, samples: int):
     )
 
 
+def bench_stream(shape_edge: int, batch: int, iters: int):
+    """End-to-end production path: BIDS tree on disk -> native IO -> device
+    seed banks -> jitted batched generation (``SyntheticStream``), wall-clock
+    volumes/sec/chip including all host work."""
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from fetalsyngen_tpu.data.datasets import FetalSynthDataset
+    from fetalsyngen_tpu.io import nifti
+    from fetalsyngen_tpu.parallel.input_pipeline import SyntheticStream
+    from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+    shape = (shape_edge,) * 3
+    root = Path(tempfile.mkdtemp(prefix="fsg_bench_bids_"))
+    rng = np.random.default_rng(0)
+    for si, sub in enumerate(["sub-b01", "sub-b02"]):
+        seeds_np, seg_np = phantom_seeds_and_seg(shape, seed=si)
+        anat = root / sub / "anat"
+        anat.mkdir(parents=True)
+        nifti.save(anat / f"{sub}_dseg.nii.gz", seg_np.astype(np.int16))
+        nifti.save(anat / f"{sub}_T2w.nii.gz", (seg_np > 0).astype(np.float32))
+        for n in (1, 2):
+            sd = root / "derivatives" / "seeds" / f"subclasses_{n}" / sub / "anat"
+            sd.mkdir(parents=True)
+            for m in range(1, 5):
+                part = np.where(seeds_np % 4 == (m - 1), seeds_np, 0).astype(np.int8)
+                nifti.save(sd / f"{sub}_mlabel_{m}.nii.gz", part)
+
+    import __graft_entry__ as ge
+
+    generator_cfg = ge._default_cfg(shape)
+    # dataset needs a FetalSynthGen-like object exposing .cfg
+    class _Gen:
+        cfg = generator_cfg
+
+    ds = FetalSynthDataset(str(root), _Gen(), str(root / "derivatives" / "seeds"))
+    stream = SyntheticStream(ds, batch_size=batch, seed=0, prefetch=True)
+    it = iter(stream)
+
+    b = next(it)  # warmup: compile + first banks
+    float(jnp.sum(b["image"][..., ::64, ::64, ::64]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        b = next(it)
+        float(jnp.sum(b["image"][..., ::64, ::64, ::64]))
+    dt = time.perf_counter() - t0
+    vols = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"end-to-end stream {shape_edge}^3 volumes/sec/chip",
+                "value": round(vols, 4),
+                "unit": "vol/s/chip",
+                "vs_baseline": round(vols / REFERENCE_VOLS_PER_SEC, 4),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--artifacts", action="store_true", help="bench the SR-artifact pipeline")
+    ap.add_argument("--stream", action="store_true", help="bench the end-to-end input stream")
     ap.add_argument("--samples", type=int, default=3)
     args = ap.parse_args()
 
     if args.artifacts:
         bench_artifacts(args.shape, args.samples)
+        return
+    if args.stream:
+        bench_stream(args.shape, args.batch, args.iters)
         return
 
     from fetalsyngen_tpu.generator.config import GeneratorCfg, IntensityCfg
