@@ -514,120 +514,8 @@ def warp_displacement_separable(vol, dx, dy, dz, nearest=False):
     return jnp.transpose(x, (2, 0, 1)).astype(dt)
 
 
-# ---------------------------------------------------------------------------
-# Arbitrary rigid warps: quarter-turns + Paeth shears
-# ---------------------------------------------------------------------------
-#
-# The UL path above assumes near-identity affines (deformation augmentation).
-# The scanner simulation needs warps by ARBITRARY rotations (random stack
-# orientations over the full sphere). Any rotation factors into three
-# single-axis rotations (Euler), each reduced modulo 90 deg: the quarter-turn
-# part is an exact array rot90 (pure layout), and the residual (<= 45 deg)
-# uses Paeth's three-shear identity
-#   R(th) = Shx(-tan(th/2)) Shy(sin th) Shx(-tan(th/2))
-# whose passes are all unit-slope hat passes with small spans.
-
-import numpy as _np
-
-_PLANE = {0: (1, 2), 1: (2, 0), 2: (0, 1)}  # rotation axis -> rotated plane
-
-
-def _shear_pass(vol, axis_move, axis_fix, amount, bias, nearest):
-    """pos[axis_move] = idx + amount * centered(axis_fix) + bias."""
-    D, H, W = vol.shape
-    c = [(s - 1) / 2.0 for s in vol.shape]
-    # bring axis_move into lanes
-    perm = [a for a in range(3) if a != axis_move] + [axis_move]
-    x = jnp.transpose(vol, perm)
-    shp = tuple(x.shape)
-    # row coefficient for axis_fix (row_i = perm[0], row_j = perm[1])
-    ci = cj = 0.0
-    if perm[0] == axis_fix:
-        ci = amount
-    else:
-        cj = amount
-    b = bias - amount * c[axis_fix]
-    x = hat_pass(x, (ci, cj, 1.0, b), None, shp, MAXSPAN_L, nearest)
-    inv = _np.argsort(perm)
-    return jnp.transpose(x, tuple(inv))
-
-
-@functools.partial(jax.jit, static_argnames=("axis", "nearest"))
-def _paeth3(x, sh1, sh2, axis, nearest):
-    """Jitted Paeth shear trio (one dispatch; shear amounts are traced, so a
-    single compilation serves every rotation angle — important on hosts where
-    per-dispatch latency is high)."""
-    a, b = _PLANE[axis]
-    x = _shear_pass(x, a, b, sh1, 0.0, nearest)
-    x = _shear_pass(x, b, a, sh2, 0.0, nearest)
-    return _shear_pass(x, a, b, sh1, 0.0, nearest)
-
-
-@functools.partial(jax.jit, static_argnames=("nearest",))
-def _translate3(x, t, nearest):
-    for axis in range(3):
-        x = _shear_pass(x, axis, (axis + 1) % 3, 0.0, t[axis], nearest)
-    return x
-
-
-def _axis_rotation_warp(vol, axis, theta, nearest):
-    """Warp sampling ``V(R_axis(theta) q)`` about the volume center."""
-    k = int(_np.round(theta / (_np.pi / 2)))
-    res = theta - k * (_np.pi / 2)
-    a, b = _PLANE[axis]
-    x = vol
-    # quarter turns: sampling V(R90^k q) == rotating the array by -k
-    if k % 4:
-        x = jnp.rot90(x, k=(-k) % 4, axes=(a, b))
-    if abs(res) > 1e-8:
-        # R(res) in the (a, b) plane via Paeth shears
-        x = _paeth3(x, jnp.float32(-_np.tan(res / 2.0)), jnp.float32(_np.sin(res)), axis, nearest)
-    return x
-
-
-def warp_rigid_separable(vol, R, t, out_shape=None, nearest=False):
-    """``out[q] = V[R q + t]`` for an ARBITRARY rotation ``R`` (host-concrete
-    numpy (3,3) in array-index space) + translation ``t``, about grid centers.
-
-    ``out_shape`` embeds the result on a larger/smaller centered grid.
-    Decomposition: R = Rx(al) Ry(be) Rz(ga) (intrinsic xyz about array axes),
-    each axis warp = rot90 + <=45 deg Paeth shears. Total <= 9 unit-slope hat
-    passes + 1 translation pass set.
-    """
-    from scipy.spatial.transform import Rotation as _Rot
-
-    R = _np.asarray(R, _np.float64)
-    t = _np.asarray(t, _np.float64)
-    out_shape = tuple(out_shape) if out_shape is not None else vol.shape
-    dt = vol.dtype
-    x = vol.astype(jnp.float32)
-
-    # embed on the working grid (the larger per axis, centered zero-pad);
-    # shrink (centered crop) only AFTER the warp so rotated-in content from
-    # outside the output FOV is preserved.
-    work_shape = tuple(max(si, so) for si, so in zip(vol.shape, out_shape))
-    if work_shape != vol.shape:
-        pads = [((w - s) // 2, (w - s) - (w - s) // 2) for s, w in zip(vol.shape, work_shape)]
-        x = jnp.pad(x, pads)
-
-    # sampling map about centers: pos = R (q - c) + c + t
-    # intrinsic decomposition R = Rx Ry Rz -> warp V by Rx first.
-    al, be, ga = _Rot.from_matrix(R).as_euler("XYZ")
-    # translation first (uniform shifts), then the three axis rotations:
-    # V(R(q-c) + c + t): let V1(p) = V(p + t): V1(R(q-c)+c);
-    # V1 o Rx o Ry o Rz applied in stages.
-    if _np.abs(t).max() > 1e-8:
-        x = _translate3(x, jnp.asarray(t, jnp.float32), nearest)
-    x = _axis_rotation_warp(x, 0, float(al), nearest)
-    x = _axis_rotation_warp(x, 1, float(be), nearest)
-    x = _axis_rotation_warp(x, 2, float(ga), nearest)
-
-    if work_shape != out_shape:
-        crops = tuple(
-            slice((w - so) // 2, (w - so) // 2 + so) for w, so in zip(work_shape, out_shape)
-        )
-        x = x[crops]
-    return x.astype(dt)
+# rotation axis -> rotated plane (for Paeth shear trios)
+_PLANE = {0: (1, 2), 1: (2, 0), 2: (0, 1)}
 
 
 # ---------------------------------------------------------------------------
