@@ -23,6 +23,12 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
+
+# The env var above is a no-op on hosts whose sitecustomize imports jax at
+# interpreter start (config already frozen) — set it explicitly so the
+# multi-minute 256^3 pipeline compile persists across bench invocations.
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 REFERENCE_VOLS_PER_SEC = 1.78
