@@ -60,21 +60,30 @@ def bench_artifacts(shape_edge: int, samples: int):
         (seg_np > 0).astype(np.float32) * 100 + (seg_np > 2) * 80, 1.5
     ).astype(np.float32)
 
+    out_dev = jnp.asarray(out)
+    seg_dev = jnp.asarray(seg_np.astype(np.int32))  # on device, like the
+    # production path (model.sample hands the artifacts the jitted
+    # pipeline's device seg, model.py:377-380)
+
     def one(i):
         key = jax.random.PRNGKey(100 + i)
         rng = np.random.default_rng(100 + i)
-        o = jnp.asarray(out)
+        o = out_dev
         for name, artifact in generator.artifacts.items():
             if artifact is None:
                 continue
             akey = jax.random.fold_in(key, hash(name) % 1000)
             o, _ = artifact(
-                o, seg_np.astype(np.int32), resolution=(0.5, 0.5, 0.5),
+                o, seg_dev, resolution=(0.5, 0.5, 0.5),
                 rng=np.random.default_rng(rng.integers(2**31)), key=akey,
             )
         return float(jnp.sum(o[::64, ::64, ::64]))  # device sync
 
-    one(0)  # warmup / compile
+    # warmup = the exact index sequence the timed pass replays, so every
+    # (host-branch, static-arg) program variant the timed draws hit is
+    # already compiled (and lands in the persistent cache for future runs)
+    for i in range(1, samples + 1):
+        one(i)
     t0 = time.perf_counter()
     for i in range(1, samples + 1):
         one(i)

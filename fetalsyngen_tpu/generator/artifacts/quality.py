@@ -235,8 +235,12 @@ class StructNoise:
             meta = {"nstages": nstages, "noise_std": noise_std}
             mp = self.merge_params
             if mp.merge_type == "perlin":
-                res = int(genparams.get("res") or rng.choice(mp.perlin_res_list))
-                octave = int(genparams.get("octave") or rng.choice(mp.perlin_octaves_list))
+                # draw-then-override: the draws must happen even when pinned
+                # or the host stream desynchronizes for later values
+                res = int(rng.choice(mp.perlin_res_list))
+                octave = int(rng.choice(mp.perlin_octaves_list))
+                res = int(genparams.get("res", res))
+                octave = int(genparams.get("octave", octave))
                 weight = fractal_noise_3d(
                     jax.random.fold_in(key, 2),
                     output.shape,
@@ -249,9 +253,9 @@ class StructNoise:
                 )
                 meta.update({"res": res, "octave": octave})
             else:  # gaussian
-                nloc = int(
-                    genparams.get("nloc") or rng.integers(mp.gauss_nloc_min, mp.gauss_nloc_max)
-                )
+                # draw-then-override (see perlin branch)
+                nloc = int(rng.integers(mp.gauss_nloc_min, mp.gauss_nloc_max))
+                nloc = int(genparams.get("nloc", nloc))
                 wm = (seg == self.wm_label).astype(jnp.int32)
                 centers, valid = masked_random_centers(
                     jax.random.fold_in(key, 3), wm, self.MAX_LOC, nloc

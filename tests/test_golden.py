@@ -5,6 +5,10 @@ strategy SURVEY §4 calls for in place of the reference's absent test suite).
 Statistics rather than byte hashes: XLA CPU codegen may legally reorder f32
 reductions between jax versions, so we pin means/extremes to tight tolerances
 and label histograms exactly.
+
+NOTE: the pinned values are CPU-backend-specific (the whole suite runs on the
+virtual CPU mesh, conftest.py); the compiled TPU/Mosaic path is validated
+separately by ``tests_tpu/`` on a real chip.
 """
 
 import numpy as np

@@ -1,0 +1,25 @@
+"""TPU-only tests: exercise the REAL Mosaic/Pallas kernels on a live chip.
+
+The main suite (``tests/``) pins itself to a virtual CPU mesh and runs the
+Pallas kernels in interpreter mode only (``FSG_PALLAS_INTERPRET=1``); golden
+pins there are CPU-backend-specific.  This suite is the complement: it runs
+nothing unless ``jax.default_backend() == "tpu"`` and validates that the
+compiled Mosaic kernels agree with the interpreter-checked numerics.
+
+Run manually on a TPU host:  ``python -m pytest tests_tpu/ -q``
+(it is intentionally NOT collected by ``pytest tests/``).
+"""
+
+import pytest
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() != "tpu":
+        skip = pytest.mark.skip(reason="requires a real TPU backend")
+        for item in items:
+            item.add_marker(skip)

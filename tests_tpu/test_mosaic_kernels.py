@@ -1,0 +1,138 @@
+"""Mosaic-vs-reference parity on a real TPU chip.
+
+The CPU suite validates the Pallas kernel LOGIC in interpreter mode; this
+file validates the compiled Mosaic lowering of the same kernels — layout,
+dynamic lane-slicing, and the roll ladder are all exercised only here.
+Tolerances are loose enough for bf16-free f32 VPU math but would catch any
+windowing/offset bug (those produce O(1) voxel errors, not ulps).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fetalsyngen_tpu.ops.warp import (
+    warp_affine_separable,
+    warp_displacement_separable,
+)
+from fetalsyngen_tpu.ops.interp import gather_trilinear
+
+
+def _warp_trilinear_exact(vol, A, t):
+    """One-gather exact trilinear warp: out[o] = V[A o + t]."""
+    D, H, W = vol.shape
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(D, dtype=jnp.float32),
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    x = jnp.clip(A[0, 0] * ii + A[0, 1] * jj + A[0, 2] * kk + t[0], 0, D - 1)
+    y = jnp.clip(A[1, 0] * ii + A[1, 1] * jj + A[1, 2] * kk + t[1], 0, H - 1)
+    z = jnp.clip(A[2, 0] * ii + A[2, 1] * jj + A[2, 2] * kk + t[2], 0, W - 1)
+    return gather_trilinear(vol, x, y, z)
+
+
+def _smooth_volume(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.random(shape, np.float32)
+    # cheap separable smoothing so trilinear-vs-sheared-kernel error is tiny
+    for ax in range(3):
+        v = (np.roll(v, 1, ax) + v + np.roll(v, -1, ax)) / 3.0
+    return v.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def vol128():
+    return _smooth_volume((128, 128, 128))
+
+
+class TestAffineWarpOnTPU:
+    def test_identity_exact(self, vol128):
+        out = jax.jit(warp_affine_separable)(
+            jnp.asarray(vol128), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+        )
+        np.testing.assert_allclose(np.asarray(out), vol128, atol=1e-5)
+
+    def test_translation_matches_roll(self, vol128):
+        t = jnp.asarray([3.0, -2.0, 5.0])
+        out = jax.jit(warp_affine_separable)(
+            jnp.asarray(vol128), jnp.eye(3, dtype=jnp.float32), t
+        )
+        expect = np.roll(vol128, (-3, 2, -5), (0, 1, 2))
+        core = (slice(8, -8),) * 3
+        np.testing.assert_allclose(np.asarray(out)[core], expect[core], atol=1e-4)
+
+    def test_general_affine_matches_gather(self, vol128):
+        """Compiled hat passes vs the exact one-gather trilinear warp
+        (both on TPU). The sheared-kernel approximation is bounded by the
+        same tolerance the CPU suite pins (tests/test_warp.py)."""
+        rng = np.random.default_rng(3)
+        A = np.eye(3) + rng.normal(0, 0.04, (3, 3))
+        t = rng.normal(0, 2.0, 3)
+        v = jnp.asarray(vol128)
+        fast = np.asarray(
+            jax.jit(warp_affine_separable)(
+                v, jnp.asarray(A, jnp.float32), jnp.asarray(t, jnp.float32)
+            )
+        )
+        exact = np.asarray(
+            jax.jit(_warp_trilinear_exact)(
+                v, jnp.asarray(A, jnp.float32), jnp.asarray(t, jnp.float32)
+            )
+        )
+        core = (slice(8, -8),) * 3
+        err = np.abs(fast[core] - exact[core])
+        assert err.max() < 0.02, err.max()
+        assert err.mean() < 1e-3, err.mean()
+
+
+class TestDisplacementWarpOnTPU:
+    def test_zero_field_exact(self, vol128):
+        z = jnp.zeros(vol128.shape, jnp.float32)
+        out = jax.jit(warp_displacement_separable)(jnp.asarray(vol128), z, z, z)
+        np.testing.assert_allclose(np.asarray(out), vol128, atol=1e-5)
+
+    def test_constant_field_matches_shift(self, vol128):
+        dz = jnp.full(vol128.shape, 2.0, jnp.float32)
+        z = jnp.zeros(vol128.shape, jnp.float32)
+        out = np.asarray(
+            jax.jit(warp_displacement_separable)(jnp.asarray(vol128), z, z, dz)
+        )
+        expect = np.roll(vol128, -2, 2)
+        core = (slice(8, -8),) * 3
+        np.testing.assert_allclose(out[core], expect[core], atol=1e-4)
+
+
+class TestPipelineOnTPU:
+    def test_synth_sample_stats(self):
+        """Full 64-cube pipeline on the chip: output in [0,1], labels
+        preserved, deterministic under the same key."""
+        from fetalsyngen_tpu.generator.config import GeneratorCfg, IntensityCfg
+        from fetalsyngen_tpu.generator.pipeline import synth_sample
+        from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+        shape = (64, 64, 64)
+        labels = tuple([0] + list(range(10, 50)))
+        gen_classes = tuple(
+            [0] + [10] * 10 + [20] * 10 + [30] * 10 + list(range(40, 50))
+        )
+        cfg = GeneratorCfg(
+            shape=shape,
+            resolution=(0.5, 0.5, 0.5),
+            intensity=IntensityCfg(1, 4, labels, gen_classes),
+        )
+        seeds_np, seg_np = phantom_seeds_and_seg(shape, seed=5, n_subclusters=3)
+        seeds = jnp.asarray(seeds_np, jnp.int32)
+        seg = jnp.asarray(seg_np, jnp.int32)
+        key = jax.random.PRNGKey(99)
+        out, seg_out, _, _ = synth_sample(key, seeds, seg, cfg=cfg)
+        out2, seg_out2, _, _ = synth_sample(key, seeds, seg, cfg=cfg)
+        o = np.asarray(out)
+        assert o.shape == shape
+        assert 0.0 <= o.min() and o.max() <= 1.0
+        assert o.std() > 0.01  # not a constant volume
+        assert set(np.unique(np.asarray(seg_out))).issubset(set(np.unique(seg_np)))
+        np.testing.assert_array_equal(o, np.asarray(out2))  # same key -> identical
