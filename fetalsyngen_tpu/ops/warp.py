@@ -61,7 +61,12 @@ def _use_pallas() -> bool:
 BLOCK_ROWS = 32
 
 
-def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, nearest, with_disp):
+TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
+
+
+def _hat_kernel(
+    coef_ref, xpad_ref, disp_ref, o_ref, acc_ref, *, S, H_rows, maxspan, nearest, with_disp
+):
     """One axis pass over a (BLOCK_ROWS, 128) output block.
 
     coef_ref: (1, 4) SMEM  — (ci, cj, ck, bias) of the affine position map
@@ -69,6 +74,9 @@ def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, near
         with rows enumerated as row = row_i * H_rows + row_j.
     xpad_ref: (BLOCK_ROWS, S + 2*PAD + 128) VMEM — edge-padded source rows.
     disp_ref: (BLOCK_ROWS, 128) VMEM — optional per-element displacement.
+    acc_ref:  (BLOCK_ROWS, 128) VMEM scratch — tap accumulator (lets the tap
+        loop run as TAP_CHUNK-sized ``pl.when`` chunks skipped past the
+        block's true spread; see span_dyn).
     """
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -118,19 +126,43 @@ def _hat_kernel(coef_ref, xpad_ref, disp_ref, o_ref, *, S, H_rows, maxspan, near
     # Tap offsets clamp into the window: a position whose within-block spread
     # exceeds maxspan samples a clamped (nearby) tap instead of silently
     # accumulating zero.
-    acc = jnp.zeros((B, 128), jnp.float32)
+    #
+    # span_dyn = taps this block actually needs: every valid element's rel
+    # lies in [n0, mx], so taps m >= floor(mx) - n0 + 2 have exactly zero
+    # weight (linear: |d0 - m| >= 1; nearest: ri_rel < span_dyn). The static
+    # maxspan loop runs in TAP_CHUNK-sized pl.when chunks skipped once past
+    # span_dyn — bit-identical output, ~maxspan/spread x less VPU work on
+    # smooth-field and small-shear passes.
+    mx = jnp.max(jnp.where(valid, rel, -_BIG))
+    span_dyn = jnp.floor(mx).astype(jnp.int32) - n0 + 2
+    acc_ref[:] = jnp.zeros((B, 128), jnp.float32)
     if nearest:
         ri_rel = jnp.clip(
             jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0
         )
-        for m in range(maxspan):
-            wgt = (ri_rel == float(m)).astype(jnp.float32)
-            acc = acc + wgt * win[:, m : m + 128]
+        for c0 in range(0, maxspan, TAP_CHUNK):
+
+            @pl.when(c0 < span_dyn)
+            def _chunk(c0=c0):
+                acc = acc_ref[:]
+                for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
+                    wgt = (ri_rel == float(m)).astype(jnp.float32)
+                    acc = acc + wgt * win[:, m : m + 128]
+                acc_ref[:] = acc
+
     else:
         d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
-        for m in range(maxspan):
-            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
-            acc = acc + wgt * win[:, m : m + 128]
+        for c0 in range(0, maxspan, TAP_CHUNK):
+
+            @pl.when(c0 < span_dyn)
+            def _chunk(c0=c0):
+                acc = acc_ref[:]
+                for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
+                    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
+                    acc = acc + wgt * win[:, m : m + 128]
+                acc_ref[:] = acc
+
+    acc = acc_ref[:]
 
     lo_edge = xpad_ref[:, PAD][:, None]
     hi_edge = xpad_ref[:, PAD + S - 1][:, None]
@@ -226,6 +258,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
             disp_spec,
         ],
         out_specs=pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BLOCK_ROWS, 128), jnp.float32)],
         interpret=_INTERPRET,
     )(coefs.reshape(1, 4), xpad, disp2d)
     return out.reshape(D, H, OW)
@@ -862,7 +895,8 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
 # fixed costs — between the two operands.
 
 def _hat_pair_kernel(
-    coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, *, S, H_rows, maxspan, with_disp, modes=(False, True)
+    coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, acc_a_ref, acc_b_ref,
+    *, S, H_rows, maxspan, with_disp, modes=(False, True)
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -898,21 +932,36 @@ def _hat_pair_kernel(
         wa = jnp.where(bit, pltpu.roll(wa, sh, 1), wa)
         wb = jnp.where(bit, pltpu.roll(wb, sh, 1), wb)
 
-    acc_a = jnp.zeros((B, 128), jnp.float32)
-    acc_b = jnp.zeros((B, 128), jnp.float32)
     d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
     ri_rel = jnp.clip(jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
-    for m in range(maxspan):
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
-        nsel = ri_rel == float(m)
-        if modes[0]:
-            acc_a = jnp.where(nsel, wa[:, m : m + 128], acc_a)
-        else:
-            acc_a = acc_a + wgt * wa[:, m : m + 128]
-        if modes[1]:
-            acc_b = jnp.where(nsel, wb[:, m : m + 128], acc_b)
-        else:
-            acc_b = acc_b + wgt * wb[:, m : m + 128]
+    # Chunked tap loop skipped past the block's true spread (see
+    # _hat_kernel's span_dyn note) — bit-identical, adaptively cheaper.
+    mx = jnp.max(jnp.where(valid, rel, -_BIG))
+    span_dyn = jnp.floor(mx).astype(jnp.int32) - n0 + 2
+    acc_a_ref[:] = jnp.zeros((B, 128), jnp.float32)
+    acc_b_ref[:] = jnp.zeros((B, 128), jnp.float32)
+    for c0 in range(0, maxspan, TAP_CHUNK):
+
+        @pl.when(c0 < span_dyn)
+        def _chunk(c0=c0):
+            acc_a = acc_a_ref[:]
+            acc_b = acc_b_ref[:]
+            for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
+                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
+                nsel = ri_rel == float(m)
+                if modes[0]:
+                    acc_a = jnp.where(nsel, wa[:, m : m + 128], acc_a)
+                else:
+                    acc_a = acc_a + wgt * wa[:, m : m + 128]
+                if modes[1]:
+                    acc_b = jnp.where(nsel, wb[:, m : m + 128], acc_b)
+                else:
+                    acc_b = acc_b + wgt * wb[:, m : m + 128]
+            acc_a_ref[:] = acc_a
+            acc_b_ref[:] = acc_b
+
+    acc_a = acc_a_ref[:]
+    acc_b = acc_b_ref[:]
 
     oa_ref[:] = jnp.where(
         sat_lo, xa_ref[:, PAD][:, None], jnp.where(sat_hi, xa_ref[:, PAD + S - 1][:, None], acc_a)
@@ -978,6 +1027,10 @@ def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(Fals
             disp_spec,
         ],
         out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_ROWS, 128), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, 128), jnp.float32),
+        ],
         interpret=_INTERPRET,
     )(coefs_arr.reshape(1, 4), xa, xb, disp2d)
     return oa.reshape(D, H, OW), ob.reshape(D, H, OW)
@@ -1011,10 +1064,16 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     # U-y on (i, k, j): pos_j = U12*k + U11*j + t1 — batched matmul over k
     a, b = _row_affine_matmul_pair(a, b, U[1, 1], U[1, 2], t[1], modes)
     a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
-    # U-x on (j, k, i): pos_i = U01*j + U02*k + U00*i + t0 — two row terms,
-    # hat kernel
-    a, b = hat_pass_pair(a, b, (U[0, 1], U[0, 2], U[0, 0], t[0]), None, (H, W, D), MAXSPAN_U)
-    a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    # U-x: pos_i = U00*i + U01*j + U02*k + t0 has TWO row terms — split into
+    # two single-row-term batched matmuls (i <- i + U02*k, then
+    # i <- U00*i + U01*j + t0; compositions compose along the lane axis), so
+    # the whole U stage rides the MXU and only the three displacement passes
+    # below need the hat kernel. Extra cost: one more interpolation along i
+    # (same sheared-kernel error class the Paeth trios accept).
+    a, b = _row_affine_matmul_pair(a, b, 1.0, U[0, 2], 0.0, modes)  # (j,k,i), row k
+    a, b = tp(a, (1, 0, 2)), tp(b, (1, 0, 2))
+    a, b = _row_affine_matmul_pair(a, b, U[0, 0], U[0, 1], t[0], modes)  # (k,j,i), row j
+    a, b = tp(a, (2, 0, 1)), tp(b, (2, 0, 1))
     a, b = hat_pass_pair(
         a, b, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H), MAXSPAN_FIELD
     )

@@ -48,8 +48,8 @@ def test_golden_image_statistics(sample):
     assert out.shape == SHAPE and np.isfinite(out).all()
     assert out.min() >= 0.0
     np.testing.assert_allclose(out.max(), 1.0, atol=1e-5)  # resample /max path
-    np.testing.assert_allclose(float(out.mean()), 0.54342, rtol=2e-3)
-    np.testing.assert_allclose(float(out.std()), 0.23695, rtol=2e-3)
+    np.testing.assert_allclose(float(out.mean()), 0.51797, rtol=2e-3)
+    np.testing.assert_allclose(float(out.std()), 0.23598, rtol=2e-3)
 
 
 def test_golden_gate_draws(sample):
@@ -79,12 +79,12 @@ def test_golden_values_pinned(sample):
 
 
 GOLDEN_PROBE = [
-    0.41477394104003906,
-    0.2635979950428009,
-    0.36658811569213867,
-    0.29632851481437683,
-    0.30874353647232056,
-    0.4805464446544647,
-    0.4839569628238678,
-    0.49004703760147095,
-]  # pinned 2026-08-16, CPU backend, PRNGKey(1234)
+    0.41565024852752686,
+    0.2650412917137146,
+    0.36736899614334106,
+    0.2986376881599426,
+    0.3092956244945526,
+    0.4800682067871094,
+    0.4834454357624054,
+    0.4893254339694977,
+]  # re-pinned 2026-08-17 (U-x pass -> two MXU matmul shears), CPU backend
