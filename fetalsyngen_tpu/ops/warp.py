@@ -40,9 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Static pad (lanes) on each side of the resampled axis. Covers the largest
-# affine excursion |pos - lane| the deformation config can produce.
-PAD = 192
+# Static pad (lanes) on each side of the resampled axis. The window base of
+# a block is base = PAD + lane0 + n0 with n0 >= -(lane0 + 127) for any block
+# holding a valid element (pos > 0 => rel > -lane), so PAD >= 128 keeps every
+# window start in-bounds; saturated-only blocks clamp n0 (see lo_bound).
+# Smaller PAD = less edge-pad traffic (the padded copy and the per-block
+# window reads scale with S + 2*PAD + 128).
+PAD = 128
 _BIG = 1e9
 
 # FSG_PALLAS_INTERPRET=1 runs the Pallas kernels in interpreter mode on any
@@ -896,17 +900,19 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
 
 def _hat_pair_kernel(
     coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, acc_a_ref, acc_b_ref,
-    *, S, H_rows, maxspan, with_disp, modes=(False, True)
+    *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
     ci, cj, ck, bias = (coef_ref[0, i] for i in range(4))
 
     B = BLOCK_ROWS
-    rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+    LB = lane_block
+    WIN = LB + 256  # aligned window: taps reach LB - 1 + maxspan < WIN - 127
+    rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
     row_j = (rows % H_rows).astype(jnp.float32)
-    lanes_f = (h_blk * 128 + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)).astype(jnp.float32)
+    lanes_f = (h_blk * LB + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 1)).astype(jnp.float32)
 
     pos = ci * row_i + cj * row_j + ck * lanes_f + bias
     if with_disp:
@@ -919,16 +925,16 @@ def _hat_pair_kernel(
     rel_v = jnp.where(valid, rel, _BIG)
     n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
     width = S + 2 * PAD + 128
-    n0 = jnp.clip(n0, -(PAD + h_blk * 128), width - 384 - PAD - h_blk * 128)
+    n0 = jnp.clip(n0, -(PAD + h_blk * LB), width - WIN - PAD - h_blk * LB)
 
-    base = PAD + h_blk * 128 + n0
+    base = PAD + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
-    wa = xa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), 384)]
-    wb = xb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), 384)]
+    wa = xa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
+    wb = xb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
     for b in range(7):
         bit = ((off >> b) & 1) == 1
-        sh = 384 - (1 << b)
+        sh = WIN - (1 << b)
         wa = jnp.where(bit, pltpu.roll(wa, sh, 1), wa)
         wb = jnp.where(bit, pltpu.roll(wb, sh, 1), wb)
 
@@ -938,8 +944,8 @@ def _hat_pair_kernel(
     # _hat_kernel's span_dyn note) — bit-identical, adaptively cheaper.
     mx = jnp.max(jnp.where(valid, rel, -_BIG))
     span_dyn = jnp.floor(mx).astype(jnp.int32) - n0 + 2
-    acc_a_ref[:] = jnp.zeros((B, 128), jnp.float32)
-    acc_b_ref[:] = jnp.zeros((B, 128), jnp.float32)
+    acc_a_ref[:] = jnp.zeros((B, LB), jnp.float32)
+    acc_b_ref[:] = jnp.zeros((B, LB), jnp.float32)
     for c0 in range(0, maxspan, TAP_CHUNK):
 
         @pl.when(c0 < span_dyn)
@@ -950,13 +956,13 @@ def _hat_pair_kernel(
                 wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
                 nsel = ri_rel == float(m)
                 if modes[0]:
-                    acc_a = jnp.where(nsel, wa[:, m : m + 128], acc_a)
+                    acc_a = jnp.where(nsel, wa[:, m : m + LB], acc_a)
                 else:
-                    acc_a = acc_a + wgt * wa[:, m : m + 128]
+                    acc_a = acc_a + wgt * wa[:, m : m + LB]
                 if modes[1]:
-                    acc_b = jnp.where(nsel, wb[:, m : m + 128], acc_b)
+                    acc_b = jnp.where(nsel, wb[:, m : m + LB], acc_b)
                 else:
-                    acc_b = acc_b + wgt * wb[:, m : m + 128]
+                    acc_b = acc_b + wgt * wb[:, m : m + LB]
             acc_a_ref[:] = acc_a
             acc_b_ref[:] = acc_b
 
@@ -971,15 +977,26 @@ def _hat_pair_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "maxspan", "out_len", "modes"))
-def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True)):
+@functools.partial(
+    jax.jit, static_argnames=("shape", "maxspan", "out_len", "modes", "unit_slope")
+)
+def hat_pass_pair(
+    va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True), unit_slope=False
+):
     """One axis pass over TWO volumes sharing positions; per-operand mode
     (False = linear, True = nearest). Default (linear, nearest) serves the
-    image+segmentation pair; (linear, linear) serves value+weight chains."""
+    image+segmentation pair; (linear, linear) serves value+weight chains.
+
+    ``unit_slope=True`` declares (statically) that the lane coefficient is
+    1.0, so the within-block position spread is lane-count independent and
+    the kernel can cover the whole output row in ONE wide lane block —
+    fewer grid steps, one window-staging roll ladder instead of OW/128.
+    Bit-identical output (tap weights are invariant to the window base)."""
     D, H, W = shape
     OW = W if out_len is None else out_len
     R = D * H
     coefs_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
     if _use_pallas() and _v2_ok(R, W, OW, H, maxspan):
         oa, ob = _hat_pass_v2_call(
@@ -995,6 +1012,7 @@ def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(Fals
     xa = _pad_rows(va.reshape(R, W))
     xb = _pad_rows(vb.reshape(R, W))
     with_disp = disp is not None
+    LB = lane_block
     kernel = functools.partial(
         _hat_pair_kernel,
         S=W,
@@ -1002,24 +1020,25 @@ def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(Fals
         maxspan=max(maxspan, V1_MINSPAN),
         with_disp=with_disp,
         modes=tuple(modes),
+        lane_block=LB,
     )
-    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
     disp_spec = (
-        pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+        pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
         if with_disp
-        else pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+        else pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     )
     wide = pl.BlockSpec(
         (BLOCK_ROWS, W + 2 * PAD + 128), lambda r, h: (r, 0), memory_space=pltpu.VMEM
     )
-    out_spec = pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
     oa, ob = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((R, OW), jnp.float32),
             jax.ShapeDtypeStruct((R, OW), jnp.float32),
         ),
-        grid=(R // BLOCK_ROWS, OW // 128),
+        grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
             pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
             wide,
@@ -1028,8 +1047,8 @@ def hat_pass_pair(va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(Fals
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_ROWS, 128), jnp.float32),
-            pltpu.VMEM((BLOCK_ROWS, 128), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(coefs_arr.reshape(1, 4), xa, xb, disp2d)
@@ -1075,12 +1094,16 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     a, b = _row_affine_matmul_pair(a, b, U[0, 0], U[0, 1], t[0], modes)  # (k,j,i), row j
     a, b = tp(a, (2, 0, 1)), tp(b, (2, 0, 1))
     a, b = hat_pass_pair(
-        a, b, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H), MAXSPAN_FIELD
+        a, b, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H),
+        MAXSPAN_FIELD, unit_slope=True,
     )
     a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
-    a, b = hat_pass_pair(a, b, (L[2, 0], L[2, 1], 1.0, 0.0), gz, (D, H, W), MAXSPAN_FIELD)
+    a, b = hat_pass_pair(
+        a, b, (L[2, 0], L[2, 1], 1.0, 0.0), gz, (D, H, W), MAXSPAN_FIELD, unit_slope=True
+    )
     a, b = tp(a, (1, 2, 0)), tp(b, (1, 2, 0))
     a, b = hat_pass_pair(
-        a, b, (0.0, 0.0, 1.0, 0.0), jnp.transpose(gx, (1, 2, 0)), (H, W, D), MAXSPAN_FIELD
+        a, b, (0.0, 0.0, 1.0, 0.0), jnp.transpose(gx, (1, 2, 0)), (H, W, D),
+        MAXSPAN_FIELD, unit_slope=True,
     )
     return jnp.transpose(a, (2, 0, 1)), jnp.transpose(b, (2, 0, 1)).astype(vb.dtype)
