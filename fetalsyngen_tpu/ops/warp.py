@@ -69,18 +69,21 @@ TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
 
 
 def _hat_kernel(
-    coef_ref, xpad_ref, disp_ref, o_ref, acc_ref, *, S, H_rows, maxspan, nearest, with_disp
+    coef_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
+    *, S, H_rows, maxspan, nearest, with_disp, lane_block=128
 ):
-    """One axis pass over a (BLOCK_ROWS, 128) output block.
+    """One axis pass over a (BLOCK_ROWS, lane_block) output block.
 
     coef_ref: (1, 4) SMEM  — (ci, cj, ck, bias) of the affine position map
         pos = ci * row_i + cj * row_j + ck * lane + bias,
         with rows enumerated as row = row_i * H_rows + row_j.
-    xpad_ref: (BLOCK_ROWS, S + 2*PAD + 128) VMEM — edge-padded source rows.
-    disp_ref: (BLOCK_ROWS, 128) VMEM — optional per-element displacement.
-    acc_ref:  (BLOCK_ROWS, 128) VMEM scratch — tap accumulator (lets the tap
-        loop run as TAP_CHUNK-sized ``pl.when`` chunks skipped past the
-        block's true spread; see span_dyn).
+    x_ref:    (BLOCK_ROWS, S) VMEM — raw source rows; edge padding is staged
+        in the kernel (s_ref) instead of materializing a padded HBM copy.
+    disp_ref: (BLOCK_ROWS, lane_block) VMEM — optional per-elem displacement.
+    acc_ref:  (BLOCK_ROWS, lane_block) VMEM scratch — tap accumulator (lets
+        the tap loop run as TAP_CHUNK-sized ``pl.when`` chunks skipped past
+        the block's true spread; see span_dyn).
+    s_ref:    (BLOCK_ROWS, S + 2*PAD + 128) VMEM scratch — edge-padded rows.
     """
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -91,10 +94,21 @@ def _hat_kernel(
     bias = coef_ref[0, 3]
 
     B = BLOCK_ROWS
-    rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+    LB = lane_block
+    WIN = LB + 256
+    width = S + 2 * PAD + 128
+
+    # stage edge-padded rows once per row block (lane dim iterates fastest)
+    @pl.when(h_blk == 0)
+    def _stage():
+        s_ref[:, PAD : PAD + S] = x_ref[:]
+        s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (B, PAD))
+        s_ref[:, PAD + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - PAD - S))
+
+    rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
     row_j = (rows % H_rows).astype(jnp.float32)
-    lanes = h_blk * 128 + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    lanes = h_blk * LB + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 1)
     lanes_f = lanes.astype(jnp.float32)
 
     pos = ci * row_i + cj * row_j + ck * lanes_f + bias
@@ -108,24 +122,23 @@ def _hat_kernel(
     rel = pos - lanes_f
     rel_v = jnp.where(valid, rel, _BIG)
     n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
-    width = S + 2 * PAD + 128
-    lo_bound = -(PAD + h_blk * 128)
-    hi_bound = width - 384 - PAD - h_blk * 128
+    lo_bound = -(PAD + h_blk * LB)
+    hi_bound = width - WIN - PAD - h_blk * LB
     n0 = jnp.clip(n0, lo_bound, hi_bound)
 
     # Mosaic supports only 128-aligned dynamic lane slices and single-vreg
     # dynamic rolls, so the block's source window is staged in two steps:
-    # (1) a 128-aligned dynamic slice of 3 vregs, (2) a log2 ladder of
-    # conditional STATIC rolls for the sub-128 remainder; the tap loop then
-    # uses static slices of the aligned window.
-    base = PAD + h_blk * 128 + n0
+    # (1) a 128-aligned dynamic slice, (2) a log2 ladder of conditional
+    # STATIC rolls for the sub-128 remainder; the tap loop then uses static
+    # slices of the aligned window.
+    base = PAD + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
-    win = xpad_ref[:, pl.ds(pl.multiple_of(q * 128, 128), 384)]
-    for b in range(7):  # shift left by off in [0, 128); left-by-s == roll by (384 - s)
+    win = s_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
+    for b in range(7):  # shift left by off in [0, 128); left-by-s == roll by (WIN - s)
         bit = ((off >> b) & 1) == 1
-        win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
-    # now win[:, l] == xpad[rows, base + l] for l < 384 - 127
+        win = jnp.where(bit, pltpu.roll(win, WIN - (1 << b), 1), win)
+    # now win[:, l] == padded[rows, base + l] for l < WIN - 127
 
     # Tap offsets clamp into the window: a position whose within-block spread
     # exceeds maxspan samples a clamped (nearby) tap instead of silently
@@ -139,7 +152,7 @@ def _hat_kernel(
     # smooth-field and small-shear passes.
     mx = jnp.max(jnp.where(valid, rel, -_BIG))
     span_dyn = jnp.floor(mx).astype(jnp.int32) - n0 + 2
-    acc_ref[:] = jnp.zeros((B, 128), jnp.float32)
+    acc_ref[:] = jnp.zeros((B, LB), jnp.float32)
     if nearest:
         ri_rel = jnp.clip(
             jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0
@@ -151,7 +164,7 @@ def _hat_kernel(
                 acc = acc_ref[:]
                 for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
                     wgt = (ri_rel == float(m)).astype(jnp.float32)
-                    acc = acc + wgt * win[:, m : m + 128]
+                    acc = acc + wgt * win[:, m : m + LB]
                 acc_ref[:] = acc
 
     else:
@@ -163,20 +176,14 @@ def _hat_kernel(
                 acc = acc_ref[:]
                 for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
                     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
-                    acc = acc + wgt * win[:, m : m + 128]
+                    acc = acc + wgt * win[:, m : m + LB]
                 acc_ref[:] = acc
 
     acc = acc_ref[:]
 
-    lo_edge = xpad_ref[:, PAD][:, None]
-    hi_edge = xpad_ref[:, PAD + S - 1][:, None]
+    lo_edge = x_ref[:, 0][:, None]
+    hi_edge = x_ref[:, S - 1][:, None]
     o_ref[:] = jnp.where(sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc))
-
-
-def _pad_rows(x2d: jnp.ndarray) -> jnp.ndarray:
-    """Edge-replicate pad: PAD left, PAD+128 right (room for the aligned
-    3-vreg window at the largest block base)."""
-    return jnp.pad(x2d, ((0, 0), (PAD, PAD + 128)), mode="edge")
 
 
 def _hat_pass_jnp(x2d, pos, nearest):
@@ -201,20 +208,22 @@ def _hat_pass_jnp(x2d, pos, nearest):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "maxspan", "nearest", "out_len")
+    jax.jit, static_argnames=("shape", "maxspan", "nearest", "out_len", "unit_slope")
 )
-def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
+def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False):
     """Resample the LAST axis of ``vol`` (D, H, W) at affine(+disp) positions.
 
     pos(i, j, k) = c0*i + c1*j + c2*k + c3 [+ disp[i,j,k]] in last-axis voxel
     units; edge-clamped interpolation (linear or nearest). ``out_len``
     optionally changes the resampled axis length (output (D, H, out_len)).
+    ``unit_slope=True``: see :func:`hat_pass_pair`.
     """
     D, H, W = shape
     OW = W if out_len is None else out_len
     R = D * H
     x2d = vol.reshape(R, W)
     coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
     if _use_pallas() and _v2_ok(R, W, OW, H, maxspan):
         return _hat_pass_v2_call([vol], [nearest], coefs, disp, shape, maxspan, out_len)[0]
@@ -234,8 +243,9 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
             pos = pos + disp.reshape(R, OW)
         return _hat_pass_jnp(x2d, pos, nearest).reshape(D, H, OW)
 
-    xpad = _pad_rows(x2d)
     with_disp = disp is not None
+    LB = lane_block
+    width = W + 2 * PAD + 128
     kernel = functools.partial(
         _hat_kernel,
         S=W,
@@ -243,28 +253,30 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None):
         maxspan=max(maxspan, V1_MINSPAN),
         nearest=nearest,
         with_disp=with_disp,
+        lane_block=LB,
     )
-    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
     disp_spec = (
-        pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+        pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
         if with_disp
-        else pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+        else pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, OW), jnp.float32),
-        grid=(R // BLOCK_ROWS, OW // 128),
+        grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
             pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (BLOCK_ROWS, W + 2 * PAD + 128), lambda r, h: (r, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM),
             disp_spec,
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, 128), lambda r, h: (r, h), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BLOCK_ROWS, 128), jnp.float32)],
+        out_specs=pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
+        ],
         interpret=_INTERPRET,
-    )(coefs.reshape(1, 4), xpad, disp2d)
+    )(coefs.reshape(1, 4), x2d, disp2d)
     return out.reshape(D, H, OW)
 
 
@@ -900,6 +912,7 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
 
 def _hat_pair_kernel(
     coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, acc_a_ref, acc_b_ref,
+    sa_ref, sb_ref,
     *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128
 ):
     r_blk = pl.program_id(0)
@@ -909,6 +922,20 @@ def _hat_pair_kernel(
     B = BLOCK_ROWS
     LB = lane_block
     WIN = LB + 256  # aligned window: taps reach LB - 1 + maxspan < WIN - 127
+    width = S + 2 * PAD + 128
+
+    # Stage edge-padded source rows into VMEM scratch once per row block
+    # (the lane grid dim iterates fastest, so h_blk == 0 runs first for each
+    # r_blk and the scratch persists across the row block's lane steps).
+    # This replaces an HBM-materialized padded copy — one whole 640-wide
+    # array write + read per operand per pass — with raw S-wide block reads.
+    @pl.when(h_blk == 0)
+    def _stage():
+        for x_ref, s_ref in ((xa_ref, sa_ref), (xb_ref, sb_ref)):
+            s_ref[:, PAD : PAD + S] = x_ref[:]
+            s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (B, PAD))
+            s_ref[:, PAD + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - PAD - S))
+
     rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
     row_j = (rows % H_rows).astype(jnp.float32)
@@ -924,14 +951,13 @@ def _hat_pair_kernel(
     rel = pos - lanes_f
     rel_v = jnp.where(valid, rel, _BIG)
     n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
-    width = S + 2 * PAD + 128
     n0 = jnp.clip(n0, -(PAD + h_blk * LB), width - WIN - PAD - h_blk * LB)
 
     base = PAD + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
-    wa = xa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
-    wb = xb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
+    wa = sa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
+    wb = sb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
     for b in range(7):
         bit = ((off >> b) & 1) == 1
         sh = WIN - (1 << b)
@@ -970,10 +996,10 @@ def _hat_pair_kernel(
     acc_b = acc_b_ref[:]
 
     oa_ref[:] = jnp.where(
-        sat_lo, xa_ref[:, PAD][:, None], jnp.where(sat_hi, xa_ref[:, PAD + S - 1][:, None], acc_a)
+        sat_lo, xa_ref[:, 0][:, None], jnp.where(sat_hi, xa_ref[:, S - 1][:, None], acc_a)
     )
     ob_ref[:] = jnp.where(
-        sat_lo, xb_ref[:, PAD][:, None], jnp.where(sat_hi, xb_ref[:, PAD + S - 1][:, None], acc_b)
+        sat_lo, xb_ref[:, 0][:, None], jnp.where(sat_hi, xb_ref[:, S - 1][:, None], acc_b)
     )
 
 
@@ -1009,10 +1035,11 @@ def hat_pass_pair(
         b = hat_pass(vb, coefs, disp, shape, maxspan, modes[1], out_len=out_len)
         return a, b
 
-    xa = _pad_rows(va.reshape(R, W))
-    xb = _pad_rows(vb.reshape(R, W))
+    xa = va.reshape(R, W)
+    xb = vb.reshape(R, W)
     with_disp = disp is not None
     LB = lane_block
+    width = W + 2 * PAD + 128
     kernel = functools.partial(
         _hat_pair_kernel,
         S=W,
@@ -1028,9 +1055,7 @@ def hat_pass_pair(
         if with_disp
         else pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     )
-    wide = pl.BlockSpec(
-        (BLOCK_ROWS, W + 2 * PAD + 128), lambda r, h: (r, 0), memory_space=pltpu.VMEM
-    )
+    raw = pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
     oa, ob = pl.pallas_call(
         kernel,
@@ -1041,14 +1066,16 @@ def hat_pass_pair(
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
             pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
-            wide,
-            wide,
+            raw,
+            raw,
             disp_spec,
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
             pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
             pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(coefs_arr.reshape(1, 4), xa, xb, disp2d)
