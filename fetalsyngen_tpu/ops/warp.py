@@ -225,9 +225,6 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
     coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
-    if _use_pallas() and _v2_ok(R, W, OW, H, maxspan):
-        return _hat_pass_v2_call([vol], [nearest], coefs, disp, shape, maxspan, out_len)[0]
-
     if not _use_pallas() or not _v1_ok(R, W, OW, H):
         rows = jnp.arange(R, dtype=jnp.float32)
         ri = jnp.floor(rows / H)
@@ -280,188 +277,8 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
     return out.reshape(D, H, OW)
 
 
-# ---------------------------------------------------------------------------
-# v2 kernel: big blocks, in-kernel padding, per-subtile windows
-# ---------------------------------------------------------------------------
-#
-# The v1 kernel above issues one grid step per (32, 128) output tile — 4096
-# steps per 256^3 pass — and reads an HBM-materialized edge-padded copy of the
-# source (3.5x read amplification). Measured on v5e, per-step overhead
-# dominates (~7-9 ms/pass regardless of tap count). v2 restructures:
-#
-#   * grid = (R / BIG_ROWS,): one step per 128-row slab, source block fetched
-#     once, output written once — 16x fewer grid steps;
-#   * edge padding happens IN the kernel into a VMEM scratch (no padded HBM
-#     array, no pad round-trip);
-#   * the slab is processed by an in-kernel fori_loop over (SUB=8, 128)
-#     subtiles, each with its own window base n0 — smaller position spread
-#     per tile, so unit-slope passes need far fewer taps (12 vs 48);
-#   * span overflow degrades gracefully: tap offsets clamp into the window
-#     (a rare >4-sigma field draw samples a position clamped by <=1 voxel
-#     instead of silently accumulating zero).
-
-BIG_ROWS = 128
-SUB = 8
-
-
-def _hat_v2_kernel(coef_ref, *refs, S, H_rows, OW, maxspan, modes, with_disp):
-    """Process one (BIG_ROWS, OW) output slab for ``len(modes)`` operands.
-
-    refs layout: x_refs (n), [disp_ref], o_refs (n), scratch_refs (n).
-    modes: tuple of booleans — True = nearest, False = linear — per operand.
-    """
-    n_ops = len(modes)
-    x_refs = refs[:n_ops]
-    i = n_ops
-    disp_ref = refs[i] if with_disp else None
-    if with_disp:
-        i += 1
-    o_refs = refs[i : i + n_ops]
-    s_refs = refs[i + n_ops : i + 2 * n_ops]
-
-    r_blk = pl.program_id(0)
-    ci = coef_ref[0, 0]
-    cj = coef_ref[0, 1]
-    ck = coef_ref[0, 2]
-    bias = coef_ref[0, 3]
-    width = S + 2 * PAD + 128
-
-    # stage edge-padded source rows in VMEM
-    for x_ref, s_ref in zip(x_refs, s_refs):
-        s_ref[:, PAD : PAD + S] = x_ref[:]
-        s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (BIG_ROWS, PAD))
-        s_ref[:, PAD + S :] = jnp.broadcast_to(
-            x_ref[:, S - 1 : S], (BIG_ROWS, width - PAD - S)
-        )
-
-    n_lane = OW // 128
-    n_tiles = (BIG_ROWS // SUB) * n_lane
-
-    def tile(ti, carry):
-        si = ti // n_lane
-        h = ti - si * n_lane
-        row0 = pl.multiple_of(si * SUB, SUB)
-        lane0 = pl.multiple_of(h * 128, 128)
-
-        rows = (r_blk * BIG_ROWS + row0) + jax.lax.broadcasted_iota(
-            jnp.int32, (SUB, 128), 0
-        )
-        row_i = (rows // H_rows).astype(jnp.float32)
-        row_j = (rows % H_rows).astype(jnp.float32)
-        lanes_f = (lane0 + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)).astype(
-            jnp.float32
-        )
-        pos = ci * row_i + cj * row_j + ck * lanes_f + bias
-        if with_disp:
-            pos = pos + disp_ref[pl.ds(row0, SUB), pl.ds(lane0, 128)]
-
-        sat_lo = pos <= 0.0
-        sat_hi = pos >= S - 1.0
-        valid = jnp.logical_not(jnp.logical_or(sat_lo, sat_hi))
-        rel = pos - lanes_f
-        rel_v = jnp.where(valid, rel, _BIG)
-        n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
-        base = jnp.clip(PAD + lane0 + n0, 0, width - 384)
-        q = base // 128
-        off = base - q * 128
-        n0_eff = (base - PAD - lane0).astype(jnp.float32)
-        d0 = jnp.clip(rel - n0_eff, 0.0, maxspan - 1.0)
-        ri_rel = jnp.clip(jnp.round(pos) - lanes_f - n0_eff, 0.0, maxspan - 1.0)
-
-        for nearest, o_ref, s_ref in zip(modes, o_refs, s_refs):
-            win = s_ref[pl.ds(row0, SUB), pl.ds(pl.multiple_of(q * 128, 128), 384)]
-            for b in range(7):
-                bit = ((off >> b) & 1) == 1
-                win = jnp.where(bit, pltpu.roll(win, 384 - (1 << b), 1), win)
-            acc = jnp.zeros((SUB, 128), jnp.float32)
-            if nearest:
-                for m in range(maxspan):
-                    acc = jnp.where(ri_rel == float(m), win[:, m : m + 128], acc)
-            else:
-                for m in range(maxspan):
-                    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
-                    acc = acc + wgt * win[:, m : m + 128]
-            lo_edge = s_ref[pl.ds(row0, SUB), PAD][:, None]
-            hi_edge = s_ref[pl.ds(row0, SUB), PAD + S - 1][:, None]
-            o_ref[pl.ds(row0, SUB), pl.ds(lane0, 128)] = jnp.where(
-                sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc)
-            )
-        return carry
-
-    if _UNROLL:
-        for ti in range(n_tiles):
-            tile(ti, 0)
-    else:
-        jax.lax.fori_loop(0, n_tiles, tile, 0)
-
-
-# The v2 kernel measured SLOWER than v1 on v5e (15-19 vs 11.6 ms/vol per
-# pair pass at 256^3 — the in-kernel subtile loop pipelines worse than many
-# small grid steps), so it is opt-in for further experiments.
-_FORCE_V2 = os.environ.get("FSG_WARP_V2") == "1"
-# FSG_WARP_UNROLL=1 statically unrolls the v2 subtile loop (A/B benchmarking).
-_UNROLL = os.environ.get("FSG_WARP_UNROLL") == "1"
-
-
-def _v2_ok(R, W, OW, H_rows, maxspan):
-    return (
-        _FORCE_V2
-        and R % BIG_ROWS == 0
-        and W % 128 == 0
-        and OW % 128 == 0
-        and H_rows % SUB == 0
-        and maxspan <= 384 - 127
-    )
-
-
 def _v1_ok(R, W, OW, H_rows):
     return R % BLOCK_ROWS == 0 and W % 128 == 0 and OW % 128 == 0 and H_rows % BLOCK_ROWS == 0
-
-
-def _hat_pass_v2_call(vols, modes, coefs_arr, disp, shape, maxspan, out_len):
-    """pallas_call wrapper for the v2 kernel over a list of operands."""
-    D, H, W = shape
-    OW = W if out_len is None else out_len
-    R = D * H
-    width = W + 2 * PAD + 128
-    with_disp = disp is not None
-
-    kernel = functools.partial(
-        _hat_v2_kernel,
-        S=W,
-        H_rows=H,
-        OW=OW,
-        maxspan=maxspan,
-        modes=tuple(modes),
-        with_disp=with_disp,
-    )
-    n = len(vols)
-    in_specs = [pl.BlockSpec((1, 4), lambda r: (0, 0), memory_space=pltpu.SMEM)]
-    in_specs += [
-        pl.BlockSpec((BIG_ROWS, W), lambda r: (r, 0), memory_space=pltpu.VMEM)
-    ] * n
-    args = [coefs_arr.reshape(1, 4)] + [v.reshape(R, W) for v in vols]
-    if with_disp:
-        in_specs.append(
-            pl.BlockSpec((BIG_ROWS, OW), lambda r: (r, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(disp.reshape(R, OW))
-    out_spec = pl.BlockSpec((BIG_ROWS, OW), lambda r: (r, 0), memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((R, OW), jnp.float32) for _ in range(n)),
-        grid=(R // BIG_ROWS,),
-        in_specs=in_specs,
-        out_specs=tuple(out_spec for _ in range(n)),
-        scratch_shapes=[pltpu.VMEM((BIG_ROWS, width), jnp.float32) for _ in range(n)],
-        cost_estimate=pl.CostEstimate(
-            flops=6 * n * R * OW * maxspan,
-            bytes_accessed=4 * n * R * (W + OW) + (4 * R * OW if with_disp else 0),
-            transcendentals=0,
-        ),
-        interpret=_INTERPRET,
-    )(*args)
-    return [o.reshape(D, H, OW) for o in outs]
 
 
 # ---------------------------------------------------------------------------
@@ -499,8 +316,10 @@ MAXSPAN_FIELD = 48
 # largest default nonlin_std (4.0) — beyond the field's realizable range —
 # chosen so 2*FIELD_LIM + |L|*31 + 4 fits the 48-tap field window.
 FIELD_LIM = 14.0
-# The v1 kernel computes one window per 32-row block (position spread up to
-# ~4x a v2 subtile's), so passes falling back to it keep at least this span.
+# The kernel computes one window per 32-row block; the static tap count must
+# cover the largest within-block position spread any supported pass can
+# produce (the adaptive span_dyn chunks then skip what a given block doesn't
+# need, so a generous static bound costs little at runtime).
 V1_MINSPAN = 48
 
 
@@ -1023,12 +842,6 @@ def hat_pass_pair(
     R = D * H
     coefs_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
-
-    if _use_pallas() and _v2_ok(R, W, OW, H, maxspan):
-        oa, ob = _hat_pass_v2_call(
-            [va, vb], list(modes), coefs_arr, disp, shape, maxspan, out_len
-        )
-        return oa, ob
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H):
         a = hat_pass(va, coefs, disp, shape, maxspan, modes[0], out_len=out_len)
