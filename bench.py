@@ -143,8 +143,12 @@ def bench_stream(shape_edge: int, batch: int, iters: int):
     stream = SyntheticStream(ds, batch_size=batch, seed=0, prefetch=True)
     it = iter(stream)
 
-    b = next(it)  # warmup: compile + first banks
-    float(jnp.sum(b["image"][..., ::64, ::64, ::64]))
+    # warmup: compile + BOTH subjects' seed banks uploaded (the stream
+    # round-robins subjects, so one warmup batch leaves the second subject's
+    # bank transfer inside the timed region)
+    for _ in range(2):
+        b = next(it)
+        float(jnp.sum(b["image"][..., ::64, ::64, ::64]))
     t0 = time.perf_counter()
     for _ in range(iters):
         b = next(it)

@@ -34,6 +34,10 @@ def compose_seeds(bank: jnp.ndarray, choices: jnp.ndarray) -> jnp.ndarray:
     """Sum per-meta-label seed variants chosen from the bank (device-side
     equivalent of ``ImageFromSeeds.load_seeds``).
 
+    Gather FIRST (int8, 4 volumes), widen after: upcasting the whole bank
+    before the gather would read/write n_options x 4 volumes at 4 bytes
+    instead of the 4 chosen ones at 1 byte.
+
     Args:
         bank: (n_options, 4, D, H, W) int8 — all subcluster variants.
         choices: (4,) int32 — variant index per meta-label (0-based).
@@ -41,10 +45,8 @@ def compose_seeds(bank: jnp.ndarray, choices: jnp.ndarray) -> jnp.ndarray:
     Returns:
         (D, H, W) int32 summed seed volume.
     """
-    picked = jnp.take_along_axis(
-        bank.astype(jnp.int32), choices[:, None, None, None][None], axis=0
-    )[0]
-    return picked.sum(axis=0)
+    picked = jnp.take_along_axis(bank, choices[:, None, None, None][None], axis=0)[0]
+    return picked.astype(jnp.int32).sum(axis=0)
 
 
 class SeedBankCache:
@@ -111,6 +113,25 @@ class SeedBankCache:
         return arr
 
 
+@partial(jax.jit, static_argnames=("lo", "hi", "B", "cfg"))
+def _gen_batch(sub, bank, seg, lo, hi, B, cfg):
+    """One fused device program: draw per-sample keys + subcluster choices,
+    compose seeds from the bank, run the batched pipeline, scale to [0,1]."""
+    keys = jax.random.split(sub, B)
+    choices = jax.random.randint(jax.random.fold_in(sub, 1), (B, 4), lo, hi)
+
+    def one(key, ch):
+        seeds = compose_seeds(bank, ch)
+        out, seg_o, _, _ = _synth_core(
+            key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
+        )
+        peak = jnp.max(out)
+        out = out / jnp.where(peak > 0, peak, 1.0)
+        return out, seg_o
+
+    return jax.vmap(one)(keys, choices)
+
+
 class SyntheticStream:
     """Iterator of device-generated batches from a ``FetalSynthDataset``.
 
@@ -150,22 +171,15 @@ class SyntheticStream:
         B = self.batch_size
 
         self._key, sub = jax.random.split(self._key)
-        keys = jax.random.split(sub, B)
         icfg = self.cfg.intensity
         lo = max(icfg.min_subclusters - 1, 0)
         hi = min(icfg.max_subclusters, n_opts)
-        choices = jax.random.randint(jax.random.fold_in(sub, 1), (B, 4), lo, hi)
 
-        def one(key, ch):
-            seeds = compose_seeds(bank, ch)
-            out, seg_o, _, _ = _synth_core(
-                key, seeds, seg, jnp.zeros((), jnp.float32), (), self.cfg, (), False
-            )
-            peak = jnp.max(out)
-            out = out / jnp.where(peak > 0, peak, 1.0)
-            return out, seg_o
-
-        images, labels = jax.vmap(one)(keys, choices)
+        # ONE device call per batch: key split, subcluster choices, seed
+        # composition, the batched pipeline, and [0,1] scaling all live in a
+        # single jitted program (per-batch host dispatches cost ~ms-level
+        # tunnel latency each).
+        images, labels = _gen_batch(sub, bank, seg, lo, hi, B, self.cfg)
         return {"image": images, "label": labels, "name": name}
 
     def __iter__(self):
