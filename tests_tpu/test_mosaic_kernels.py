@@ -144,3 +144,51 @@ class TestPipelineOnTPU:
         assert o.std() > 0.01  # not a constant volume
         assert set(np.unique(np.asarray(seg_out))).issubset(set(np.unique(seg_np)))
         np.testing.assert_array_equal(o, np.asarray(out2))  # same key -> identical
+
+
+class TestScannerOnTPU:
+    def test_simulate_motion_and_replay(self):
+        """SimulateMotion end-to-end on the chip (batched _acquire_stacks /
+        _recon_stacks programs + compiled rigid-warp matmul trios), plus the
+        dict-alone replay contract."""
+        from scipy.ndimage import gaussian_filter
+
+        import fetalsyngen_tpu.generator.artifacts.scanner as sc
+        from fetalsyngen_tpu.generator.artifacts.quality import ReconMergeParams
+        from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+        old = (sc.SS, sc.ZS, sc.NS)
+        sc.SS, sc.ZS, sc.NS = 64, 64, 32
+        try:
+            shape = (64, 64, 64)
+            _, seg = phantom_seeds_and_seg(shape, seed=1)
+            out = gaussian_filter(
+                (seg > 0).astype(np.float32) * 100 + (seg > 2) * 80, 1.5
+            ).astype(np.float32)
+            sm = sc.SimulateMotion(
+                prob=1.0,
+                scanner_params=sc.ScannerParams(
+                    1.0, 1.5, 2.0, 1.0, 1.5, 1.0, 1.5, 1, 2, 200, 0, 0.0,
+                    1, 1, 0.0, 0.0, 0.05, None, False, 0.0,
+                ),
+                recon_params=sc.ReconParams(
+                    0.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.1, 0.4, 0.0,
+                    ReconMergeParams(
+                        "perlin", perlin_res_list=[1], perlin_octaves_list=[1],
+                        perlin_persistence=0.5, perlin_lacunarity=2,
+                        perlin_increase_size=0.25,
+                    ),
+                ),
+            )
+            pins = {"resolution_slice": 0.5, "slice_thickness": 1.5, "gap": 1.0}
+            o, meta = sm(out, seg.astype(np.int32), genparams=pins,
+                         resolution=(0.5, 0.5, 0.5),
+                         rng=np.random.default_rng(1), key=jax.random.PRNGKey(1))
+            o = np.asarray(o)
+            assert np.isfinite(o).all() and meta["nstacks"] >= 1
+            c = np.corrcoef(o[8:56, 8:56, 8:56].ravel(), out[8:56, 8:56, 8:56].ravel())[0, 1]
+            assert c > 0.9, c
+            o2, _ = sm(out, seg.astype(np.int32), genparams=meta, resolution=(0.5, 0.5, 0.5))
+            np.testing.assert_allclose(np.asarray(o2), o, rtol=1e-5, atol=1e-5)
+        finally:
+            sc.SS, sc.ZS, sc.NS = old
