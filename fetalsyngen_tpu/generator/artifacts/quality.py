@@ -66,11 +66,11 @@ def masked_random_centers(key, mask, n_max, n_valid):
     shape = mask.shape
     flat = mask.reshape(-1) > 0
     scores = jnp.where(flat, jax.random.uniform(key, flat.shape), -1.0)
-    # approx_max_k: TPU-native bucketed top-k (exact on CPU). The scores are
-    # i.i.d. uniforms, so an approximate maximum IS a uniform random sample
-    # of the foreground — recall < 1 only re-weights which random voxels win,
-    # which the contract (random centers) doesn't care about.
-    _, idx = jax.lax.approx_max_k(scores, n_max)
+    # exact top_k: approx_max_k's positional bins collapse small CONTIGUOUS
+    # foreground regions (contiguous flat indices share a bin, per-bin max
+    # keeps one) to fewer centers than requested; exact top-k costs ~30 ms
+    # at 256^3 on v5e — not the bottleneck in any artifact.
+    _, idx = jax.lax.top_k(scores, n_max)
     picked_valid = jnp.take(flat, idx)
     k_iota = jnp.arange(n_max) < n_valid
     valid = picked_valid & k_iota
@@ -128,10 +128,8 @@ class BlurCortex:
         w = jnp.where(cortex.reshape(-1) > 0, prob_field.reshape(-1), 0.0)
         u = jax.random.uniform(key, w.shape, minval=1e-7)
         scores = jnp.where(w > 0, jnp.log(u) / jnp.maximum(w, 1e-8), -jnp.inf)
-        # TPU-native approximate top-k (see masked_random_centers): the
-        # Gumbel-style scores are random, so approximation only perturbs
-        # which random centers win.
-        _, idx = jax.lax.approx_max_k(scores, nmax)
+        # exact top-k (see masked_random_centers for why not approx_max_k)
+        _, idx = jax.lax.top_k(scores, nmax)
         valid = (jnp.arange(nmax) < nblur) & jnp.isfinite(jnp.take(scores, idx))
         i = idx // (shape[1] * shape[2])
         rem = idx % (shape[1] * shape[2])

@@ -520,8 +520,6 @@ def _finalize_traced(value, weight, volume_gt, smooth_on, merge_on, merge_weight
     return jnp.where(merge_on, merge_weight * recon + (1 - merge_weight) * volume_gt, recon)
 
 
-_finalize = jax.jit(_finalize_traced)
-
 
 # ---------------------------------------------------------------------------
 # Host orchestration

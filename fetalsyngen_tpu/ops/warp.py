@@ -40,13 +40,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Static pad (lanes) on each side of the resampled axis. The window base of
-# a block is base = PAD + lane0 + n0 with n0 >= -(lane0 + 127) for any block
-# holding a valid element (pos > 0 => rel > -lane), so PAD >= 128 keeps every
-# window start in-bounds; saturated-only blocks clamp n0 (see lo_bound).
-# Smaller PAD = less edge-pad traffic (the padded copy and the per-block
-# window reads scale with S + 2*PAD + 128).
+# Left pad (lanes) of the staged source rows. Sized so that NO valid
+# element's window base is ever clamped (see _win_geometry): a valid element
+# at lane l has rel > -l, so the block minimum satisfies
+# n0 >= -(lane0 + LB - 1) and base = pad + lane0 + n0 >= pad - LB + 1 — pad
+# >= LB keeps every base in-bounds. The right side is sized so n0 up to the
+# largest possible valid value (S - 1 - lane0, a block whose only valid
+# element sits at its first lane) also fits: width = S + pad + LB + 128.
 PAD = 128
+
+
+def _win_geometry(S: int, lane_block: int):
+    """(pad, width, WIN) for one pass: bounds chosen so every valid n0 fits.
+
+    Proof sketch: WIN = LB + 256 so taps l + m <= LB - 1 + maxspan - 1 stay
+    below WIN - 127 after the sub-128 roll. hi clamp n0 <= S - 1 - lane0
+    covers any block minimum of valid rel (rel <= S - 1 - lane <= S-1-lane0);
+    then base <= pad + S - 1, q*128 <= pad + S - 128, and
+    q*128 + WIN <= S + pad + LB + 128 = width. lo clamp n0 >= -(pad + lane0)
+    is never binding for valid elements since pad >= LB > LB - 1.
+    """
+    pad = max(PAD, lane_block)
+    return pad, S + pad + lane_block + 128, lane_block + 256
+
+
 _BIG = 1e9
 
 # FSG_PALLAS_INTERPRET=1 runs the Pallas kernels in interpreter mode on any
@@ -83,7 +100,8 @@ def _hat_kernel(
     acc_ref:  (BLOCK_ROWS, lane_block) VMEM scratch — tap accumulator (lets
         the tap loop run as TAP_CHUNK-sized ``pl.when`` chunks skipped past
         the block's true spread; see span_dyn).
-    s_ref:    (BLOCK_ROWS, S + 2*PAD + 128) VMEM scratch — edge-padded rows.
+    s_ref:    (BLOCK_ROWS, width) VMEM scratch — edge-padded rows
+        (width from :func:`_win_geometry`).
     """
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -95,15 +113,14 @@ def _hat_kernel(
 
     B = BLOCK_ROWS
     LB = lane_block
-    WIN = LB + 256
-    width = S + 2 * PAD + 128
+    pad, width, WIN = _win_geometry(S, LB)
 
     # stage edge-padded rows once per row block (lane dim iterates fastest)
     @pl.when(h_blk == 0)
     def _stage():
-        s_ref[:, PAD : PAD + S] = x_ref[:]
-        s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (B, PAD))
-        s_ref[:, PAD + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - PAD - S))
+        s_ref[:, pad : pad + S] = x_ref[:]
+        s_ref[:, :pad] = jnp.broadcast_to(x_ref[:, :1], (B, pad))
+        s_ref[:, pad + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - pad - S))
 
     rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
@@ -122,16 +139,16 @@ def _hat_kernel(
     rel = pos - lanes_f
     rel_v = jnp.where(valid, rel, _BIG)
     n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
-    lo_bound = -(PAD + h_blk * LB)
-    hi_bound = width - WIN - PAD - h_blk * LB
-    n0 = jnp.clip(n0, lo_bound, hi_bound)
+    # Bounds are NEVER binding for a block holding a valid element (see
+    # _win_geometry) — they only keep all-saturated blocks in-bounds.
+    n0 = jnp.clip(n0, -(pad + h_blk * LB), S - 1 - h_blk * LB)
 
     # Mosaic supports only 128-aligned dynamic lane slices and single-vreg
     # dynamic rolls, so the block's source window is staged in two steps:
     # (1) a 128-aligned dynamic slice, (2) a log2 ladder of conditional
     # STATIC rolls for the sub-128 remainder; the tap loop then uses static
     # slices of the aligned window.
-    base = PAD + h_blk * LB + n0
+    base = pad + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
     win = s_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
@@ -242,7 +259,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
 
     with_disp = disp is not None
     LB = lane_block
-    width = W + 2 * PAD + 128
+    _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
         _hat_kernel,
         S=W,
@@ -390,9 +407,9 @@ _PLANE = {0: (1, 2), 1: (2, 0), 2: (0, 1)}
 # Traced rigid warps: quarter-turn lax.switch + UL passes
 # ---------------------------------------------------------------------------
 #
-# ``warp_rigid_separable`` above bakes the quarter-turn part of each rotation
-# into HOST control flow (np.rot90 choice), so every distinct stack
-# orientation retraces. For the scanner we need ONE compiled program serving
+# A host-static rigid warp (np.rot90 quarter-turn choice + per-orientation
+# trace; removed in round 2) retraced for every distinct stack orientation.
+# For the scanner we need ONE compiled program serving
 # every orientation: the 24 cube rotations become a ``lax.switch`` over
 # transpose/flip branches (pure layout ops), and the residual rotation
 # (every Euler angle <= 45 deg by construction) runs through the traced UL
@@ -740,20 +757,19 @@ def _hat_pair_kernel(
 
     B = BLOCK_ROWS
     LB = lane_block
-    WIN = LB + 256  # aligned window: taps reach LB - 1 + maxspan < WIN - 127
-    width = S + 2 * PAD + 128
+    pad, width, WIN = _win_geometry(S, LB)
 
     # Stage edge-padded source rows into VMEM scratch once per row block
     # (the lane grid dim iterates fastest, so h_blk == 0 runs first for each
     # r_blk and the scratch persists across the row block's lane steps).
-    # This replaces an HBM-materialized padded copy — one whole 640-wide
+    # This replaces an HBM-materialized padded copy — one whole padded-width
     # array write + read per operand per pass — with raw S-wide block reads.
     @pl.when(h_blk == 0)
     def _stage():
         for x_ref, s_ref in ((xa_ref, sa_ref), (xb_ref, sb_ref)):
-            s_ref[:, PAD : PAD + S] = x_ref[:]
-            s_ref[:, :PAD] = jnp.broadcast_to(x_ref[:, :1], (B, PAD))
-            s_ref[:, PAD + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - PAD - S))
+            s_ref[:, pad : pad + S] = x_ref[:]
+            s_ref[:, :pad] = jnp.broadcast_to(x_ref[:, :1], (B, pad))
+            s_ref[:, pad + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - pad - S))
 
     rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
@@ -770,9 +786,10 @@ def _hat_pair_kernel(
     rel = pos - lanes_f
     rel_v = jnp.where(valid, rel, _BIG)
     n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
-    n0 = jnp.clip(n0, -(PAD + h_blk * LB), width - WIN - PAD - h_blk * LB)
+    # Never binding for blocks holding a valid element (see _win_geometry).
+    n0 = jnp.clip(n0, -(pad + h_blk * LB), S - 1 - h_blk * LB)
 
-    base = PAD + h_blk * LB + n0
+    base = pad + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
     wa = sa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
@@ -852,7 +869,7 @@ def hat_pass_pair(
     xb = vb.reshape(R, W)
     with_disp = disp is not None
     LB = lane_block
-    width = W + 2 * PAD + 128
+    _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
         _hat_pair_kernel,
         S=W,
