@@ -87,11 +87,18 @@ class ImageFromSeeds:
         """
         genparams = genparams or {}
         rng = rng or np.random.default_rng()
+        # clamp the draw range to subclass counts actually present in the
+        # seed tree (the reference crashes on a partial tree whose
+        # subclasses_{n} dirs don't span min..max; clamping keeps the same
+        # distribution on full trees and degrades gracefully on partial ones)
+        avail = sorted(seeds.keys())
+        lo = max(self.cfg.min_subclusters, avail[0])
+        hi = min(self.cfg.max_subclusters, avail[-1])
         if "mlabel2subclusters" in genparams:
             m2s = {int(k): int(v) for k, v in genparams["mlabel2subclusters"].items()}
         else:
             m2s = {
-                ml: int(rng.integers(self.cfg.min_subclusters, self.cfg.max_subclusters + 1))
+                ml: int(rng.integers(lo, hi + 1))
                 for ml in range(1, self.cfg.meta_labels + 1)
             }
         total: np.ndarray | None = None

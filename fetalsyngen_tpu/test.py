@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--config", type=str, default="configs/test.yaml")
     ap.add_argument("--bids_path", type=str, default=None)
     ap.add_argument("--seed_path", type=str, default=None)
+    ap.add_argument("--shape", type=int, default=None,
+                    help="override the generator grid edge (e.g. 64 for smoke runs)")
     ap.add_argument("--out", type=str, default="test")
     ap.add_argument("--step", type=int, default=5)
     ap.add_argument("--count", type=int, default=100)
@@ -33,7 +35,11 @@ def main():
         cfg["bids_path"] = args.bids_path
     if args.seed_path:
         cfg["seed_path"] = args.seed_path
-    generator = instantiate(cfg.pop("generator"))
+    gen_cfg = cfg.pop("generator")
+    if args.shape:
+        gen_cfg["shape"] = [args.shape] * 3
+        gen_cfg.get("spatial_deform", {})["size"] = [args.shape] * 3
+    generator = instantiate(gen_cfg)
     dataset = instantiate(cfg, generator=generator)
     print(f"dataset: {type(dataset).__name__}, len={len(dataset)}")
 
