@@ -1,10 +1,11 @@
 """TPU-only tests: exercise the REAL Mosaic/Pallas kernels on a live chip.
 
-The main suite (``tests/``) pins itself to a virtual CPU mesh and runs the
-Pallas kernels in interpreter mode only (``FSG_PALLAS_INTERPRET=1``); golden
-pins there are CPU-backend-specific.  This suite is the complement: it runs
-nothing unless ``jax.default_backend() == "tpu"`` and validates that the
-compiled Mosaic kernels agree with the interpreter-checked numerics.
+The main suite (``tests/``) pins itself to a virtual CPU mesh; there the
+Pallas kernels take the ``_hat_pass_jnp`` fallback except in
+``tests/test_kernel_parity.py``, which flips interpreter mode to check the
+kernel LOGIC. This suite is the complement: it runs nothing unless
+``jax.default_backend() == "tpu"`` and validates the compiled Mosaic
+LOWERING of the same kernels (layout, dynamic lane slicing, roll ladder).
 
 Run manually on a TPU host:  ``python -m pytest tests_tpu/ -q``
 (it is intentionally NOT collected by ``pytest tests/``).
