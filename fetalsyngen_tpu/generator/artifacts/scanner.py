@@ -193,12 +193,12 @@ def _extract_pair(Wv, Wm, z_coefs, dz, dv, du, cube, ns_grid):
     x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
     x, m = hat_pass_pair(
         x, m, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dv, (0, 2, 1)),
-        (ns_grid, cube, cube), 48, modes=(False, False),
+        (ns_grid, cube, cube), 48, modes=(False, False), unit_slope=True,
     )
     x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
     x, m = hat_pass_pair(
         x, m, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48,
-        modes=(False, False),
+        modes=(False, False), unit_slope=True,
     )
     return x, m
 
@@ -421,11 +421,12 @@ def _recon_one(
     x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))
     x, w = hat_pass_pair(
         x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dvi, (0, 2, 1)),
-        (cube, cube, cube), 48, modes=(False, False),
+        (cube, cube, cube), 48, modes=(False, False), unit_slope=True,
     )
     x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))
     x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), dui, (cube, cube, cube), 48, modes=(False, False)
+        x, w, (0.0, 0.0, 1.0, 0.0), dui, (cube, cube, cube), 48,
+        modes=(False, False), unit_slope=True,
     )
 
     def spread(y):
