@@ -1,0 +1,636 @@
+"""Batched, fully-traced SR artifacts for the production stream.
+
+The host-orchestrated artifact classes (:mod:`.quality`, :mod:`.scanner`)
+follow the reference's per-sample call structure — host scalar draws, one
+device program per artifact. That is the replay-faithful path, but it costs
+one host->device dispatch per artifact per sample (~0.1-0.65 s each through
+the tunneled runtime), capping the with-artifacts rate at ~1 vol/s.
+
+This module re-expresses the same artifact *laws* (distributions cited to the
+reference below) as traced functions whose randomness comes from
+``jax.random`` inside the program, gated per sample with ``lax.cond`` so a
+sample that drew an artifact OFF pays (almost) nothing. The production
+stream (:mod:`fetalsyngen_tpu.parallel.input_pipeline`) folds them into its
+batch programs; the reference applies the same artifact chain inside the
+dataset path (``fetalsyngen/generator/model.py:210-220``).
+
+Chain order matches the reference orchestrator: blur_cortex -> struct_noise
+-> simulate_motion -> boundaries (``model.py:210-220``), with the [0, 1]
+rescale after all artifacts (``datasets.py:311-312``).
+
+Known deviations vs the host path (documented, stream-only):
+- randomness comes from the sample key, not a host NumPy stream -> stream
+  samples are NOT replayable through the genparams dict (use the dataset
+  path for replay);
+- the scanner runs on ONE static grid tier (default 384) — ``res_slice``
+  draws needing a larger tier are clamped to the smallest resolution the
+  tier covers (the host path serves the full range via per-scan tiers);
+- zero-valid-slice stacks are dropped instead of redrawn (the reference
+  retry, ``simulate_reco.py:366``, virtually never fires for brain-centered
+  stacks); the overflow-stack discard IS replicated.
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...ops.linops import gaussian_blur_mm
+from ...ops.morphology import box_sum
+from ...ops.noise import fractal_noise_3d, mog_3d
+from .quality import (
+    BlurCortex,
+    SimulatedBoundaries,
+    StructNoise,
+    masked_random_centers,
+)
+from .scanner import (
+    _acquire_one,
+    _finalize_traced,
+    _pad_centered,
+    _recon_one,
+)
+
+MAX_HALO_RADIUS = 14  # randint(5, 15) upper bound (artifacts.py:499)
+MAX_FUZZY_ROUNDS = 4  # randint(2, 5) upper bound (artifacts.py:560)
+MAX_DILATE = 18  # 6 * (n_fuzzy - 1) <= 18 (artifacts.py:582)
+
+
+# ---------------------------------------------------------------------------
+# traced morphology helpers
+# ---------------------------------------------------------------------------
+
+
+def sq_edt(mask: jnp.ndarray, max_radius: int) -> jnp.ndarray:
+    """Squared Euclidean distance transform, exact up to ``max_radius``.
+
+    Three 1-D min-plus passes with parabolic increments (the same identity
+    :func:`ops.morphology.ball_dilate` uses) — but returning the distance
+    field so the ball radius can be TRACED: ``dilate_r(mask) == sq_edt <= r^2``.
+    """
+    big = jnp.float32(1e9)
+    d2 = jnp.where(mask > 0, 0.0, big)
+    for axis in range(3):
+        idx = lax.broadcasted_iota(jnp.int32, d2.shape, axis)
+        acc = d2
+        for off in range(-max_radius, max_radius + 1):
+            if off == 0:
+                continue
+            shifted = jnp.roll(d2, off, axis=axis)
+            ok = (idx - off >= 0) & (idx - off < d2.shape[axis])
+            acc = jnp.minimum(acc, jnp.where(ok, shifted + float(off * off), big))
+        d2 = acc
+    return d2
+
+
+def ball_dilate_traced(mask: jnp.ndarray, radius: jnp.ndarray, max_radius: int) -> jnp.ndarray:
+    """Euclidean-ball dilation with a TRACED radius (<= ``max_radius``)."""
+    return (sq_edt(mask, max_radius) <= radius.astype(jnp.float32) ** 2 + 1e-3).astype(
+        jnp.int32
+    )
+
+
+def _dilate1(mask: jnp.ndarray) -> jnp.ndarray:
+    """Unit-ball (6-neighborhood) dilation via rolls — cheap inner step."""
+    out = mask
+    for axis in range(3):
+        idx = lax.broadcasted_iota(jnp.int32, mask.shape, axis)
+        for off in (-1, 1):
+            ok = (idx - off >= 0) & (idx - off < mask.shape[axis])
+            out = jnp.maximum(out, jnp.where(ok, jnp.roll(mask, off, axis=axis), 0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BlurCortex, traced (laws: reference artifacts.py:83-133; quality.BlurCortex)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_centers(key, w_flat, shape, nmax):
+    """Weighted sampling without replacement: keys ~ log(U)/w top-k."""
+    u = jax.random.uniform(key, w_flat.shape, minval=1e-7)
+    scores = jnp.where(w_flat > 0, jnp.log(u) / jnp.maximum(w_flat, 1e-8), -jnp.inf)
+    _, idx = lax.top_k(scores, nmax)
+    finite = jnp.isfinite(jnp.take(scores, idx))
+    i = idx // (shape[1] * shape[2])
+    rem = idx % (shape[1] * shape[2])
+    centers = jnp.stack([i, rem // shape[2], rem % shape[2]], -1).astype(jnp.float32)
+    return centers, finite
+
+
+def blur_cortex_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, bc: BlurCortex):
+    """Traced BlurCortex: gate ~ U < prob; nblur ~ U{nmin..nmax-1};
+    std_blurs ~ Gamma(2, 1)^3; center sigmas ~ Gamma(3, 1) (artifacts.py:104,
+    110); frontal-lobe-biased weighted centers."""
+    kg, kn, ks, kc, kb = jax.random.split(key, 5)
+    on = jax.random.uniform(kg) < bc.prob
+
+    def apply(out):
+        shape = out.shape
+        nblur = jax.random.randint(kn, (), bc.nblur_min, bc.nblur_max)
+        std_blurs = (
+            jax.random.gamma(kb, bc.std_blur_shape, (3,)) * bc.std_blur_scale
+        )
+        sigmas = jnp.maximum(
+            jax.random.gamma(ks, bc.sigma_gamma_loc, (bc.MAX_BLUR, 3))
+            * bc.sigma_gamma_scale,
+            1e-2,
+        )
+        cortex = (seg == bc.cortex_label).astype(jnp.float32)
+        x, y, z = shape
+        prob_field = mog_3d(
+            shape,
+            jnp.array([[0.0, y, z / 2.0], [x, y, z / 2.0]], jnp.float32),
+            jnp.array([[x / 5.0] * 3, [y / 5.0] * 3], jnp.float32),
+        )
+        w = jnp.where(cortex.reshape(-1) > 0, prob_field.reshape(-1), 0.0)
+        centers, finite = _weighted_centers(kc, w, shape, bc.MAX_BLUR)
+        valid = (jnp.arange(bc.MAX_BLUR) < nblur) & finite
+        gaussian = mog_3d(shape, centers, sigmas, valid)
+        blurred = gaussian_blur_mm(out, std_blurs, 25)
+        return out * (1 - gaussian) + blurred * gaussian
+
+    return lax.cond(on, apply, lambda o: o, out)
+
+
+# ---------------------------------------------------------------------------
+# StructNoise, traced (laws: reference artifacts.py:136-342; quality.StructNoise)
+# ---------------------------------------------------------------------------
+
+
+def struct_noise_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sn: StructNoise):
+    kg, kn, kstd, k1, k2, k3, ksig = jax.random.split(key, 7)
+    on = jax.random.uniform(kg) < sn.prob
+    mp = sn.merge_params
+
+    def apply(out):
+        shape = out.shape
+        nstages = jax.random.randint(kn, (), sn.nstages_min, sn.nstages_max)
+        noise_std = sn.std_min + (sn.std_max - sn.std_min) * jax.random.uniform(kstd)
+        noise = StructNoise._multiscale_noise.__wrapped__(
+            k1, shape, nstages, sn.nstages_max
+        )
+        noisy = jnp.clip(out + noise_std * noise, 0, out.max() * 2)
+
+        if mp.merge_type == "perlin":
+            # res is a static lattice period: evaluate each listed variant
+            # and select by the traced draw (list is 1-2 entries by config)
+            ridx = jax.random.randint(k2, (), 0, len(mp.perlin_res_list))
+            octave = jnp.asarray(mp.perlin_octaves_list)[
+                jax.random.randint(k3, (), 0, len(mp.perlin_octaves_list))
+            ]
+            variants = [
+                fractal_noise_3d(
+                    ksig,
+                    shape,
+                    (int(r), int(r), int(r)),
+                    octaves=octave,
+                    persistence=mp.perlin_persistence,
+                    lacunarity=mp.perlin_lacunarity,
+                    increase=mp.perlin_increase_size,
+                    max_octaves=int(max(mp.perlin_octaves_list)),
+                )
+                for r in mp.perlin_res_list
+            ]
+            weight = jnp.select(
+                [ridx == i for i in range(len(variants))], variants
+            )
+        else:  # gaussian
+            nloc = jax.random.randint(k2, (), mp.gauss_nloc_min, mp.gauss_nloc_max)
+            wm = (seg == sn.wm_label).astype(jnp.int32)
+            centers, valid = masked_random_centers(k3, wm, sn.MAX_LOC, nloc)
+            sigmas = jnp.clip(
+                mp.gauss_sigma_mu
+                + mp.gauss_sigma_std * jax.random.normal(ksig, (sn.MAX_LOC, 1)),
+                1,
+                40,
+            )
+            weight = mog_3d(shape, centers, sigmas, valid)
+
+        mask = (seg > 0).astype(jnp.float32)
+        return (1 - mask * weight) * out + mask * weight * noisy
+
+    return lax.cond(on, apply, lambda o: o, out)
+
+
+# ---------------------------------------------------------------------------
+# SimulatedBoundaries, traced (laws: reference artifacts.py:428-604)
+# ---------------------------------------------------------------------------
+
+
+def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: SimulatedBoundaries):
+    knm, kh, kf, khr, kn1, kn2, kn3, kc, kbeta = jax.random.split(key, 9)
+    no_mask_on = jax.random.uniform(knm) < sb.prob_no_mask
+    halo_on = jax.random.uniform(kh) < sb.prob_halo
+    fuzzy_on = jax.random.uniform(kf) < sb.prob_fuzzy
+    mask0 = (seg > 0).astype(jnp.int32)
+
+    def halo(mask):
+        radius = jax.random.randint(khr, (), 5, MAX_HALO_RADIUS + 1)
+        return ball_dilate_traced(mask, radius, MAX_HALO_RADIUS)
+
+    def fuzzy(mask):
+        n_fuzzy = jax.random.randint(kn1, (), 2, MAX_FUZZY_ROUNDS + 1)
+        n_centers = jnp.minimum(jax.random.poisson(kn2, 100.0), sb.MAX_CENTERS)
+        base_sigma = jnp.maximum(jax.random.poisson(kn3, 8.0), 1)
+
+        mask_modif = mask
+        for r in range(MAX_FUZZY_ROUNDS):
+            nxt = SimulatedBoundaries._fuzzy_once.__wrapped__(
+                jax.random.fold_in(key, 10 + r), mask_modif
+            )
+            mask_modif = jnp.where(r < n_fuzzy, nxt, mask_modif)
+
+        added = ((mask_modif - mask) > 0).astype(jnp.int32)
+        centers, valid = masked_random_centers(kc, added, sb.MAX_CENTERS, n_centers)
+        sigmas = base_sigma.astype(jnp.float32) + 10 * jax.random.beta(
+            kbeta, 2.0, 5.0, (sb.MAX_CENTERS, 1)
+        )
+        mog = mog_3d(mask.shape, centers, sigmas, valid)
+        surf_proba = jnp.where(added > 0, mog, 0.0)
+
+        n_dilate = jnp.minimum(6 * (n_fuzzy - 1), MAX_DILATE)
+        levels = jnp.clip(
+            jnp.round(surf_proba * (n_dilate + 2) - 1).astype(jnp.int32), 0, None
+        )
+        cur = mask
+        reach = jnp.where(mask > 0, 0, MAX_DILATE + 10)
+        for i in range(MAX_DILATE):
+            grow = (i >= 2) & (i < n_dilate)
+            cur = jnp.where(grow, _dilate1(cur), cur)
+            reach = jnp.where((reach > i) & (cur > 0) & (i < n_dilate), i, reach)
+        return ((reach <= levels) & (mask_modif > 0)).astype(jnp.int32) | mask
+
+    def masked(out):
+        mask = lax.cond(halo_on, halo, lambda m: m, mask0)
+        mask = lax.cond(fuzzy_on, fuzzy, lambda m: m, mask)
+        return out * mask
+
+    return lax.cond(no_mask_on, lambda o: o, masked, out)
+
+
+# ---------------------------------------------------------------------------
+# full quality chain (pre-motion part + post-motion part)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QualityArtifacts:
+    """The generator's configured artifact objects (config carriers)."""
+
+    blur_cortex: BlurCortex | None = None
+    struct_noise: StructNoise | None = None
+    boundaries: SimulatedBoundaries | None = None
+
+    @classmethod
+    def from_generator(cls, generator) -> "QualityArtifacts":
+        a = generator.artifacts
+        return cls(
+            blur_cortex=a.get("blur_cortex"),
+            struct_noise=a.get("struct_noise"),
+            boundaries=a.get("boundaries"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# SimulateMotion, batched: host geometry packer + fully-traced scan engine
+# ---------------------------------------------------------------------------
+
+
+def _identity_stack_row(ns_grid: int):
+    """Inert per-stack geometry for motion-OFF samples / padding."""
+    eye = np.eye(3, 4, dtype=np.float32)[None].repeat(ns_grid, 0)
+    return dict(
+        q_idx=0, angles=np.zeros(3, np.float32), wscale=1.0,
+        wdelta=np.zeros(3, np.float32), G=eye, Grec=eye, Greset=eye,
+        scal=np.array([0.2, 1.0, 0.0, 0.0], np.float32),
+        qinv=0, iang=np.zeros(3, np.float32), iscl=1.0,
+        idlt=np.zeros(3, np.float32),
+    )
+
+
+def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> dict:
+    """Host geometry for one batch of the traced motion engine.
+
+    Mirrors ``Scanner.scan``'s host work (``scanner.py``: init transforms,
+    recorded-trajectory motion, interleave, frame decomposition, slice affine
+    tables) for ``Kb = max_num_stack`` attempt stacks per motion-ON sample,
+    plus the reconstructor's host draws (``recon_psf``). The acceptance /
+    overflow /merge logic runs ON DEVICE in :func:`_motion_scan` from this
+    packed state — one geometry transfer and zero mid-scan host syncs per
+    batch.
+
+    ``res_slice`` draws below what the single static tier covers are clamped
+    to ``diag/cube * res`` (documented stream deviation; the host path serves
+    the full range via per-scan tiers).
+    """
+    from .scanner import (
+        GAUSSIAN_FWHM,
+        SINC_FWHM,
+        _slice_affine_table,
+        _stack_geometry,
+    )
+    from .transforms import (
+        RigidTransform,
+        interleave_index,
+        random_angle,
+        random_init_stack_transforms,
+        reset_transform,
+    )
+    from ...ops.warp import decompose_affine_paeth_host
+    from .motion import sample_motion
+
+    sp, rp = sm.scanner_args, sm.recon_args
+    Kb = int(sp.max_num_stack)
+    diag = float(np.sqrt(sum(s * s for s in shape) / 2.0))
+    rs_min = diag / cube
+    c_vol = (np.asarray(shape) - 1) / 2.0
+    mp = rp.merge_params
+
+    rows: dict[str, list] = collections.defaultdict(list)
+    for _ in range(B):
+        on = rng.random() < sm.prob
+        if not on:
+            st = _identity_stack_row(ns_grid)
+            for k, v in st.items():
+                rows[k].append([v] * Kb)
+            rows["motion_on"].append(False)
+            rows["rs"].append(1.0)
+            rows["gap_vox"].append(1.0)
+            rows["z0"].append(0.0)
+            rows["ns"].append(1)
+            rows["num_stacks"].append(0)
+            rows["sig"].append(np.zeros(3, np.float32))
+            rows["sig_rec"].append(np.zeros(2, np.float32))
+            for name, val in (
+                ("smooth_on", False), ("merge_on", False), ("rm_on", False),
+                ("rm_ratio", 0.0), ("mis_on", False), ("mis_idx", 0),
+                ("ngauss", 1), ("mres_idx", 0), ("octave", 1),
+            ):
+                rows[name].append(val)
+            rows["gsigmas"].append(np.full((8, 1), 20.0, np.float32))
+            continue
+
+        res_s = float(
+            rng.uniform(
+                sp.resolution_slice_fac_min * res,
+                min(sp.resolution_slice_fac_max * res, sp.resolution_slice_max),
+            )
+        )
+        res_s = max(res_s, rs_min * res)  # static-tier clamp (documented)
+        s_thick = float(rng.uniform(sp.slice_thickness_min, sp.slice_thickness_max))
+        gap = float(rng.uniform(sp.gap_min, sp.gap_max))
+        rs = res_s / res
+        gap_vox = gap / res
+        ns = min(int(max(shape) * res / gap) + 2, ns_grid)
+        z0 = (cube - 1) / 2.0 - (ns - 1) / 2.0 * gap_vox
+        num_stacks = int(rng.integers(sp.min_num_stack, sp.max_num_stack + 1))
+        # res_recon pinned to res (reference SimulateMotion, artifacts.py:402)
+        sig = np.array(
+            [GAUSSIAN_FWHM * s_thick / res, SINC_FWHM * rs, SINC_FWHM * rs], np.float32
+        )
+        sig_rec = np.array(
+            [GAUSSIAN_FWHM * s_thick / res, SINC_FWHM * rs], np.float32
+        )
+
+        per_stack: dict[str, list] = collections.defaultdict(list)
+        for _k in range(Kb):
+            t_init = random_init_stack_transforms(
+                ns, gap_vox * res, sp.restrict_transform, sp.txy, rng
+            )
+            ts = np.arange(ns) * rng.uniform(sp.TR_min, sp.TR_max)
+            t_motion = sample_motion(ts, rng)
+            ilv = interleave_index(ns, int(rng.integers(2, int(np.sqrt(ns)) + 1)))
+            t_motion = t_motion[np.asarray(ilv)]
+            t_target = t_motion.compose(t_init)
+            mats_vox = t_target.matrix(True).copy()
+            mats_vox[:, :, 3] /= res
+            geo = _stack_geometry(
+                t_init.matrix(True)[0, :, :3], mats_vox, shape, ns, cube, ns_grid
+            )
+            gamma_on = rng.random() < sp.prob_gamma
+            gamma = float(np.exp(sp.gamma_std * rng.standard_normal()))
+            sigma = float(rng.uniform(sp.noise_sigma_min, sp.noise_sigma_max))
+            thr_frac = float(rng.uniform(0.1, 0.3))
+
+            mats_rec = mats_vox.copy()
+            if rng.random() < rp.prob_misreg_stack:
+                off = RigidTransform(
+                    np.concatenate(
+                        [
+                            np.broadcast_to(random_angle(1, True, rng), (ns, 3)),
+                            np.stack(
+                                [
+                                    np.full(ns, rng.uniform(-rp.txy, rp.txy), np.float32),
+                                    np.full(ns, rng.uniform(-rp.txy, rp.txy), np.float32),
+                                    np.zeros(ns, np.float32),
+                                ],
+                                -1,
+                            ),
+                        ],
+                        -1,
+                    ).astype(np.float32)
+                )
+                mats_rec[:ns] = off.compose(RigidTransform(mats_rec[:ns])).matrix(True)
+            Grec = _slice_affine_table(
+                mats_rec, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
+            )
+            mats_reset = reset_transform(t_init).matrix(True).copy()
+            mats_reset[:, :, 3] /= res
+            Greset = _slice_affine_table(
+                mats_reset, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
+            )
+            # inverse stack->recon map (res_recon == res: scale 1, same grid)
+            qinv, iang, iscl, idlt = decompose_affine_paeth_host(
+                geo["Minv"], -geo["Minv"] @ geo["t_stack"], cube
+            )
+            qi, ang, ws, wd = geo["fwd"]
+            for name, val in (
+                ("q_idx", qi), ("angles", ang), ("wscale", ws), ("wdelta", wd),
+                ("G", geo["G"]), ("Grec", Grec), ("Greset", Greset),
+                ("scal", np.array([thr_frac, gamma, 1.0 if gamma_on else 0.0, sigma], np.float32)),
+                ("qinv", qinv), ("iang", iang), ("iscl", iscl), ("idlt", idlt),
+            ):
+                per_stack[name].append(val)
+        for k, v in per_stack.items():
+            rows[k].append(v)
+
+        rows["motion_on"].append(True)
+        rows["rs"].append(rs)
+        rows["gap_vox"].append(gap_vox)
+        rows["z0"].append(z0)
+        rows["ns"].append(ns)
+        rows["num_stacks"].append(num_stacks)
+        rows["sig"].append(sig)
+        rows["sig_rec"].append(sig_rec)
+        rows["smooth_on"].append(bool(rng.random() < rp.prob_smooth))
+        rm_on = bool(rng.random() < rp.prob_rm_slices)
+        rows["rm_on"].append(rm_on)
+        rows["rm_ratio"].append(
+            float(rng.uniform(rp.rm_slices_min, rp.rm_slices_max)) if rm_on else 0.0
+        )
+        rows["mis_on"].append(bool(rng.random() < rp.prob_misreg_slice))
+        rows["mis_idx"].append(int(rng.integers(Kb * ns_grid)))
+        rows["merge_on"].append(bool(rng.random() < rp.prob_merge))
+        if mp.merge_type == "gaussian":
+            rows["ngauss"].append(
+                int(rng.integers(mp.gauss_ngaussians_min, mp.gauss_ngaussians_max))
+            )
+            rows["mres_idx"].append(0)
+            rows["octave"].append(1)
+        else:
+            rows["ngauss"].append(1)
+            rows["mres_idx"].append(int(rng.integers(len(mp.perlin_res_list))))
+            rows["octave"].append(int(rng.choice(mp.perlin_octaves_list)))
+        rows["gsigmas"].append(
+            np.clip(20 + 10 * rng.standard_normal((8, 1)), 5, 40).astype(np.float32)
+        )
+
+    out = {}
+    int_keys = {"q_idx", "qinv", "ns", "num_stacks", "mis_idx", "ngauss", "mres_idx", "octave"}
+    bool_keys = {"motion_on", "smooth_on", "merge_on", "rm_on", "mis_on"}
+    for k, v in rows.items():
+        arr = np.asarray(v)
+        if k in int_keys:
+            arr = arr.astype(np.int32)
+        elif k in bool_keys:
+            arr = arr.astype(bool)
+        else:
+            arr = arr.astype(np.float32)
+        out[k] = arr
+    return out
+
+
+def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
+    """Traced SimulateMotion for ONE sample from packed host geometry.
+
+    A single ``lax.scan`` over ``Kb`` attempt stacks fuses acquisition,
+    validity, the reference's acceptance/overflow logic
+    (``simulate_reco.py:366-440``), and reconstruction accumulation — one
+    stack's slices live at a time (never the full (Kb, NS, SS, SS) block).
+    Stacks beyond the accepted count skip their compute via ``lax.cond``
+    (the scan is sequential, so the cond actually saves the work).
+
+    Stream deviations vs the host path (documented in the module docstring):
+    zero-valid stacks drop instead of redrawing; ``rm_slices`` is per-slice
+    Bernoulli(ratio) instead of an exact global count; the misregistered
+    slice is a uniform (stack, slice) pick that only fires if that slice is
+    valid.
+    """
+    sp, rp = sm.scanner_args, sm.recon_args
+    mp = rp.merge_params
+    max_slices = float(sp.max_num_slices)
+
+    def run(out):
+        vol_p = _pad_centered(out, cube)
+        mask_p = _pad_centered((seg > 0).astype(jnp.float32), cube)
+        sidx = jnp.arange(ns_grid)
+
+        def body(carry, xs):
+            count, total, stopped, v_acc, w_acc = carry
+            st, k = xs
+            active = (count < row["num_stacks"]) & (~stopped)
+
+            def do(args):
+                v_acc, w_acc = args
+                skey = jax.random.fold_in(key, 100 + k)
+                slices, valid = _acquire_one(
+                    vol_p, mask_p, st["q_idx"], st["angles"], st["wscale"],
+                    st["wdelta"], st["G"], row["rs"], row["gap_vox"], row["z0"],
+                    row["sig"], st["scal"][0], row["ns"], skey, st["scal"][1],
+                    st["scal"][2] > 0.5, st["scal"][3], sp.prob_void,
+                    sp.slice_noise_threshold, cube, ns_grid,
+                )
+                nv = jnp.sum(valid)
+                overflow = (nv > 0) & (total + nv >= max_slices)
+                ok = (nv > 0) & (~overflow)
+                rm = jax.random.bernoulli(
+                    jax.random.fold_in(key, 200 + k), row["rm_ratio"], (ns_grid,)
+                )
+                keep = valid * (1.0 - rm.astype(jnp.float32) * row["rm_on"])
+                hit = (
+                    row["mis_on"]
+                    & (row["mis_idx"] // ns_grid == k)
+                    & ((sidx == row["mis_idx"] % ns_grid) & (valid > 0))
+                )
+                grec = jnp.where(hit[:, None, None], st["Greset"], st["Grec"])
+                v_s, w_s = _recon_one(
+                    slices, jnp.where(ok, keep, 0.0), grec, row["rs"],
+                    row["gap_vox"], row["z0"], row["sig_rec"], st["qinv"],
+                    st["iang"], st["iscl"], st["idlt"], cube, ns_grid, shape,
+                )
+                return v_acc + v_s, w_acc + w_s, ok, overflow, nv
+
+            def skip(args):
+                v_acc, w_acc = args
+                return (
+                    v_acc, w_acc, jnp.asarray(False), jnp.asarray(False),
+                    jnp.float32(0.0),
+                )
+
+            v_acc, w_acc, ok, overflow, nv = lax.cond(active, do, skip, (v_acc, w_acc))
+            return (
+                count + ok.astype(jnp.int32),
+                total + nv * ok.astype(jnp.float32),
+                stopped | overflow,
+                v_acc,
+                w_acc,
+            ), None
+
+        zeros = jnp.zeros(shape, jnp.float32)
+        stack_keys = ("q_idx", "angles", "wscale", "wdelta", "G", "Grec",
+                      "Greset", "scal", "qinv", "iang", "iscl", "idlt")
+        xs = ({k: row[k] for k in stack_keys}, jnp.arange(row["q_idx"].shape[0]))
+        (count, _, _, value, weight), _ = lax.scan(
+            body,
+            (jnp.int32(0), jnp.float32(0.0), jnp.asarray(False), zeros, zeros),
+            xs,
+        )
+
+        kmw = jax.random.fold_in(key, 305)
+        if mp.merge_type == "perlin":
+            variants = [
+                fractal_noise_3d(
+                    kmw, shape, (int(r), int(r), int(r)), octaves=row["octave"],
+                    persistence=mp.perlin_persistence,
+                    lacunarity=mp.perlin_lacunarity,
+                    increase=mp.perlin_increase_size,
+                    max_octaves=int(max(mp.perlin_octaves_list)),
+                )
+                for r in mp.perlin_res_list
+            ]
+            mw = jnp.select([row["mres_idx"] == i for i in range(len(variants))], variants)
+        else:
+            centers, cvalid = masked_random_centers(
+                kmw, (seg > 0).astype(jnp.int32), 8, row["ngauss"]
+            )
+            mw = mog_3d(shape, centers, row["gsigmas"], cvalid)
+        recon = _finalize_traced(
+            value, weight, out, row["smooth_on"], row["merge_on"], mw
+        )
+        # no accepted stack (all-zero validity, rare): fall back to the input
+        # (the host path redraws; one inert draw is the stream's equivalent)
+        return jnp.where(count > 0, recon, out)
+
+    return lax.cond(row["motion_on"], run, lambda o: o, out)
+
+
+def apply_pre_motion(key, out, seg, qa: QualityArtifacts):
+    """blur_cortex + struct_noise (reference chain order model.py:210-220)."""
+    if qa.blur_cortex is not None:
+        out = blur_cortex_t(jax.random.fold_in(key, 301), out, seg, qa.blur_cortex)
+    if qa.struct_noise is not None:
+        out = struct_noise_t(jax.random.fold_in(key, 302), out, seg, qa.struct_noise)
+    return out
+
+
+def apply_post_motion(key, out, seg, qa: QualityArtifacts):
+    """boundaries — runs after simulate_motion in the reference chain."""
+    if qa.boundaries is not None:
+        out = boundaries_t(jax.random.fold_in(key, 304), out, seg, qa.boundaries)
+    return out

@@ -136,8 +136,11 @@ class BlurCortex:
         centers = jnp.stack([i, rem // shape[2], rem % shape[2]], -1).astype(jnp.float32)
 
         gaussian = mog_3d(shape, centers, sigmas, valid)
-        blurred = gaussian_blur_mm(output, std_blurs, 10)  # MXU Toeplitz matmuls
-        # (the conv_general_dilated path measured ~1.4 s at 256^3 on v5e)
+        # MXU Toeplitz matmuls (the conv_general_dilated path measured
+        # ~1.4 s at 256^3 on v5e). half_len = 25 covers 3 sigma of the
+        # unclipped gamma(2, 1) draw out to sigma ~ 8.3 (P ~ 2e-3); the band
+        # width does not change the matmul cost.
+        blurred = gaussian_blur_mm(output, std_blurs, 25)
         return output * (1 - gaussian) + blurred * gaussian
 
     def __call__(self, output, seg, genparams=None, rng=None, key=None, **kw):
@@ -148,6 +151,9 @@ class BlurCortex:
             # or the host stream desynchronizes for later values
             nblur = int(rng.integers(self.nblur_min, self.nblur_max))
             nblur = int(genparams.get("nblur", nblur))
+            # unclipped gamma draw, matching the reference
+            # (np.random.gamma(2, 1, 3), artifacts.py:104); the blur
+            # operator's half-length covers the practical gamma tail
             std_blurs = rng.gamma(self.std_blur_shape, self.std_blur_scale, 3)
             sigmas = rng.gamma(self.sigma_gamma_loc, self.sigma_gamma_scale, (self.MAX_BLUR, 3))
             key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
@@ -157,11 +163,11 @@ class BlurCortex:
                 jnp.asarray(seg),
                 jnp.int32(self.cortex_label),
                 jnp.int32(nblur),
-                jnp.asarray(np.clip(std_blurs, 0, 3.0), jnp.float32),
+                jnp.asarray(std_blurs, jnp.float32),
                 jnp.asarray(np.maximum(sigmas, 1e-2), jnp.float32),
                 nmax=self.MAX_BLUR,
             )
-            return out, {"nblur": nblur}
+            return out, {"nblur": nblur, "std_blurs": std_blurs.tolist()}
         return output, {"nblur": None}
 
 

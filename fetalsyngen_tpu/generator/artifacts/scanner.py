@@ -45,16 +45,28 @@ distinct ``psf_rec`` (``:338-344``) including its in-plane spread. Standalone
 ``resolution_recon != resolution`` (logical-extent recon grid on the static
 buffer).
 
-Known deviations (documented): the slice FOV is a static ``SS``-pixel grid
-(the reference sizes it to the volume diagonal; SS=384 covers every 256^3
-case since slice res >= volume res); slices are kept padded to ``NS`` with a
-validity mask instead of compacted; merge-weight Gaussian centers use a
-device top-k instead of ``randperm`` (same distribution class).
+Known deviations (documented): the slice FOV is a static tiered grid —
+the smallest of ``tiers`` (default 384/512/640, multiples of 128 for the
+Pallas passes) covering the reference's dynamic FOV
+``ceil(sqrt(sum(sh^2)/2)/rs/32)*32`` (``simulate_reco.py:349-354``), so each
+tier compiles once and extra FOV beyond the reference's ``ss`` is physically
+inert (validity thresholds are ratios, recon placement is extent-agnostic);
+slices are kept padded to ``ns_grid`` with a validity mask instead of
+compacted; merge-weight Gaussian centers use a device top-k instead of
+``randperm`` (same distribution class).
 
 Replay: all host scalar draws derive from ``rng`` seeded by the artifact key;
 the returned metadata embeds ``rng_key`` so a sample replays voxel-exactly
 from the genparams dict alone (plus explicit pins for resolution_slice /
 slice_thickness / gap, honored like the reference contract).
+
+RNG-stream note: host draws are internally deterministic (seeded stream +
+draw-then-override), but the *order* of draws diverges from the reference's
+sequential loop — the v3 batch draws geometry for all ``Kb`` attempts per
+round up front, consuming draws the reference's loop would never make once
+``num_stacks``/overflow is hit. Same-seed outputs therefore differ from the
+reference (and from the retired v2 path); replay from the returned metadata
+is exact either way.
 """
 
 from __future__ import annotations
@@ -89,15 +101,39 @@ from .transforms import (
     reset_transform,
 )
 
-# Static grid sizes (multiples of 128 for the Pallas passes). SS covers the
-# reference's dynamic slice FOV (sqrt(3/2)*256 = 314 at res_s = res) for all
-# supported configs; NS covers ns = max_dim*res/gap_min + 2 for gap >= 1.5mm.
-SS = 384  # slice grid (pixels) == stack-frame cube edge
-ZS = 384  # stack-frame z extent (voxels); kept == SS (cube) for quarter turns
-NS = 128  # max slices per stack
+# Default static grid tiers (multiples of 128 for the Pallas passes). Each
+# scan picks the smallest tier covering the reference's dynamic slice FOV
+# ``ceil(sqrt(sum(sh^2)/2)/rs/32)*32`` (``simulate_reco.py:349-354``): 384
+# covers every 256^3 case at rs >= 0.82, 512 down to rs >= 0.62, 640 down to
+# rs = 0.49 (the default config's floor is rs = fac_min = 0.5). NS covers
+# ns = max_dim*res/gap_min + 2 for gap >= 1.5mm; it is rs-independent.
+DEFAULT_TIERS = (384, 512, 640)
+NS = 128  # default max slices per stack (ns_grid)
 
 _FLIP = np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], dtype=np.float32)
 _BLUR_HALF = 12  # covers 3 sigma of the largest thickness/res ratio (3.5/0.5)
+
+
+def slice_grid(shape, rs: float, slice_size: int | None = None, tiers=DEFAULT_TIERS) -> int:
+    """Static stack-frame cube edge for one scan.
+
+    Mirrors the reference's dynamic slice size
+    (``simulate_reco.py:349-354``): ``ss = ceil(sqrt(sum(vs^2)/2)/rs/32)*32``
+    when ``slice_size`` is unset, else ``slice_size`` itself — rounded UP to
+    the smallest available tier so each tier compiles exactly once. FOV
+    beyond the reference's ``ss`` is physically inert (ratio-based validity,
+    extent-agnostic recon placement); a need above the largest tier is capped
+    to it (documented deviation for configs below rs = 0.49).
+    """
+    if slice_size is not None:
+        need = int(slice_size)
+    else:
+        need = int(np.ceil(np.sqrt(sum(s * s for s in shape) / 2.0) / rs / 32.0) * 32)
+    need = max(need, max(shape))  # the cube also holds the padded volume
+    for c in sorted(tiers):
+        if c >= need:
+            return int(c)
+    return int(max(tiers))
 
 
 @dataclass
@@ -542,34 +578,40 @@ def _axis_affine(R_xyz: np.ndarray, t_xyz: np.ndarray, in_center, out_center):
     return M.astype(np.float32), t.astype(np.float32)
 
 
-def _stack_geometry(Rb, mats_vox, shape, ns):
+def _stack_geometry(Rb, mats_vox, shape, ns, cube, ns_grid):
     """Host geometry for one stack: frame map, traced-warp split, slice table.
 
     ``Rb``: the stack-init rotation (xyz space); ``mats_vox``: per-slice
     trans-first rigids with voxel-unit translations.
     """
     c_vol = (np.asarray(shape) - 1) / 2.0
-    c_stack = np.full(3, (SS - 1) / 2.0)
+    c_stack = np.full(3, (cube - 1) / 2.0)
     M = _FLIP @ Rb @ _FLIP
     t_stack = c_vol - M @ c_stack
     # fwd map on the zero-PADDED cube: p_pad = M q + t_stack + off
-    off = np.array([(SS - s) // 2 for s in shape], np.float64)
-    fwd = decompose_affine_paeth_host(M, t_stack + off, SS)
+    off = np.array([(cube - s) // 2 for s in shape], np.float64)
+    fwd = decompose_affine_paeth_host(M, t_stack + off, cube)
     Minv_np = np.linalg.inv(M)
-    G = _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns)
+    G = _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid)
     return dict(M=M, t_stack=t_stack, Minv=Minv_np, G=G, fwd=fwd)
 
 
-def _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns):
-    """(NS, 3, 4) axis-space affines: slice-local coords -> stack frame."""
-    G = np.zeros((NS, 3, 4), np.float32)
-    for n in range(NS):
-        nn = min(n, ns - 1)
-        Rn = mats_vox[nn, :, :3]
-        tn = mats_vox[nn, :, 3]
-        Ma, ta = _axis_affine(Rn, Rn @ tn, c_vol, np.zeros(3))
-        G[n, :, :3] = Minv_np @ Ma
-        G[n, :, 3] = Minv_np @ (ta - t_stack)
+def _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid):
+    """(ns_grid, 3, 4) axis-space affines: slice-local coords -> stack frame.
+
+    Vectorized over the slice axis (one einsum batch instead of ``ns_grid``
+    small host matmuls — the batched stream packer builds B*Kb of these
+    tables per batch, so the loop form was a host hot spot).
+    """
+    idx = np.minimum(np.arange(ns_grid), ns - 1)
+    Rn = mats_vox[idx, :, :3].astype(np.float64)  # (NS, 3, 3)
+    tn = mats_vox[idx, :, 3].astype(np.float64)  # (NS, 3)
+    # _axis_affine(Rn, Rn @ tn, c_vol, 0) rows: M = F Rn F, t = c_vol + F Rn tn
+    Ma = np.einsum("ij,njk,kl->nil", _FLIP.astype(np.float64), Rn, _FLIP.astype(np.float64))
+    ta = c_vol + np.einsum("ij,njk,nk->ni", _FLIP.astype(np.float64), Rn, tn)
+    G = np.empty((ns_grid, 3, 4), np.float32)
+    G[:, :, :3] = np.einsum("ij,njk->nik", Minv_np, Ma)
+    G[:, :, 3] = np.einsum("ij,nj->ni", Minv_np, ta - t_stack)
     return G
 
 
@@ -610,12 +652,32 @@ class Scanner:
     host-side transform state the reconstructor needs.
     """
 
-    def __init__(self, params: ScannerParams | None = None, **kw):
+    def __init__(
+        self,
+        params: ScannerParams | None = None,
+        tiers: tuple = DEFAULT_TIERS,
+        ns_grid: int = NS,
+        **kw,
+    ):
         self.p = params if params is not None else ScannerParams(**kw)
+        self.tiers = tuple(tiers)
+        self.ns_grid = int(ns_grid)
 
     def get_resolution(self, data, rng, genparams=None):
-        """Sample res_slice / thickness / gap (``simulate_reco.py:142-191``);
-        genparams entries pin the draws."""
+        """Sample res_slice / res_recon / thickness / gap
+        (``simulate_reco.py:142-191``); genparams entries pin the draws.
+
+        Laws (matching the reference formulas exactly):
+        ``res_slice ~ U(fac_min*res, min(fac_max*res, res_max))`` — which at
+        the default config spans **below** the volume resolution (0.25 mm at
+        res = 0.5); ``res_recon = params.resolution_recon`` if configured
+        (the reference's own ``SimulateMotion`` pins it to ``res``,
+        ``artifacts.py:402``) else ``~ U(res, res_slice)``
+        (``simulate_reco.py:174-177``). The pin key ``resolution_slice_fac``
+        is honored as the reference spells it (``simulate_reco.py:163-170``
+        uses the value directly as the slice resolution) alongside our
+        ``resolution_slice``.
+        """
         genparams = genparams or {}
         sp = self.p
         res = float(data["resolution"])
@@ -624,16 +686,24 @@ class Scanner:
         # rng_key replay)
         res_s = float(
             rng.uniform(
-                max(sp.resolution_slice_fac_min * res, res),
+                sp.resolution_slice_fac_min * res,
                 min(sp.resolution_slice_fac_max * res, sp.resolution_slice_max),
             )
         )
-        res_s = float(genparams.get("resolution_slice", res_s))
+        pin = genparams.get("resolution_slice", genparams.get("resolution_slice_fac"))
+        if pin is not None:
+            res_s = float(pin)
+        if sp.resolution_recon is not None:
+            res_r = float(sp.resolution_recon)
+        else:
+            # draw a unit variate so a res_slice pin rescales the same draw
+            # (stream length stays fixed; value law matches U(res, res_slice))
+            res_r = res + float(rng.uniform(0.0, 1.0)) * (res_s - res)
+        res_r = float(genparams.get("resolution_recon", res_r))
         s_thick = float(rng.uniform(sp.slice_thickness_min, sp.slice_thickness_max))
         s_thick = float(genparams.get("slice_thickness", s_thick))
         gap = float(rng.uniform(sp.gap_min, sp.gap_max))
         gap = float(genparams.get("gap", gap))
-        res_r = float(sp.resolution_recon if sp.resolution_recon is not None else res)
         data.update(
             resolution_slice=res_s, slice_thickness=s_thick, gap=gap, resolution_recon=res_r
         )
@@ -671,7 +741,9 @@ class Scanner:
 
         rs = res_s / res
         gap_vox = gap / res
-        ns = min(int(max(shape) * res / gap) + 2, NS)
+        cube = slice_grid(shape, rs, sp.slice_size, self.tiers)
+        ns_grid = self.ns_grid
+        ns = min(int(max(shape) * res / gap) + 2, ns_grid)
         num_stacks = int(rng.integers(sp.min_num_stack, sp.max_num_stack + 1))
 
         # acquisition PSF sigmas in stack-frame voxel units (z, y, x)
@@ -679,7 +751,7 @@ class Scanner:
             [GAUSSIAN_FWHM * s_thick / res, SINC_FWHM * rs, SINC_FWHM * rs], jnp.float32
         )
         c_vol = (np.asarray(shape) - 1) / 2.0
-        c_stack = np.full(3, (SS - 1) / 2.0)
+        c_stack = np.full(3, (cube - 1) / 2.0)
         z0 = float(c_stack[0] - (ns - 1) / 2.0 * gap_vox)
 
         # Batched stack acquisition (dispatch structure v3): every round
@@ -713,7 +785,9 @@ class Scanner:
                 mats_vox = t_target.matrix(True).copy()
                 mats_vox[:, :, 3] /= res
 
-                geo = _stack_geometry(t_init.matrix(True)[0, :, :3], mats_vox, shape, ns)
+                geo = _stack_geometry(
+                    t_init.matrix(True)[0, :, :3], mats_vox, shape, ns, cube, ns_grid
+                )
                 gamma_on = rng.random() < sp.prob_gamma
                 gamma = float(np.exp(sp.gamma_std * rng.standard_normal()))
                 sigma = float(rng.uniform(sp.noise_sigma_min, sp.noise_sigma_max))
@@ -747,8 +821,8 @@ class Scanner:
                 key,
                 jnp.float32(sp.prob_void),
                 jnp.float32(sp.slice_noise_threshold),
-                cube=SS,
-                ns_grid=NS,
+                cube=cube,
+                ns_grid=ns_grid,
             )
             valids = np.asarray(valid_b) > 0  # one host sync per round
 
@@ -792,6 +866,8 @@ class Scanner:
             shape=tuple(shape),
             key=key,
             kb=Kb,  # static recon batch width (one compiled recon program)
+            cube=cube,
+            ns_grid=ns_grid,
         )
         return data
 
@@ -824,16 +900,22 @@ class PSFReconstructor:
         s["misreg_stack_on"] = []
         s["merge_volume_on"] = bool(rng.random() < rp.prob_merge)
         mp = rp.merge_params
+        # tolerate None pins (a caller may pass a dict with explicit Nones):
+        # draw-then-override where None falls back to the draw
+        def pin(name, drawn):
+            v = genparams.get(name)
+            return int(v) if v is not None else int(drawn)
+
         if mp.merge_type == "gaussian":
             s["merge_type"] = "gaussian"
-            ng = int(rng.integers(mp.gauss_ngaussians_min, mp.gauss_ngaussians_max))
-            s["ngaussians_merge"] = int(genparams.get("ngaussians_merge", ng))
+            ng = rng.integers(mp.gauss_ngaussians_min, mp.gauss_ngaussians_max)
+            s["ngaussians_merge"] = pin("ngaussians_merge", ng)
         else:
             s["merge_type"] = "perlin"
-            pres = int(rng.choice(mp.perlin_res_list))
-            octv = int(rng.choice(mp.perlin_octaves_list))
-            s["res"] = int(genparams.get("res", pres))
-            s["octave"] = int(genparams.get("octave", octv))
+            pres = rng.choice(mp.perlin_res_list)
+            octv = rng.choice(mp.perlin_octaves_list)
+            s["res"] = pin("res", pres)
+            s["octave"] = pin("octave", octv)
         self._seeds = s
         return s
 
@@ -853,6 +935,8 @@ class PSFReconstructor:
         c_vol = data["c_vol"]
         c_stack = data["c_stack"]
         stacks = data["stacks"]
+        cube = int(data["cube"])
+        ns_grid = int(data["ns_grid"])
 
         # recon PSF sigmas at recon-voxel units (simulate_reco.py:338-344)
         sig_rec = jnp.asarray(
@@ -889,7 +973,7 @@ class PSFReconstructor:
             mats_rec = st["mats_vox"].copy()
             # slice swap first (reference order), then per-stack offset
             j = misreg_slice_global - offset
-            if 0 <= j < NS:
+            if 0 <= j < ns_grid:
                 mats_rec[j] = reset_transform(st["t_init"])[min(j, ns - 1)].matrix(True)[0]
                 mats_rec[j, :, 3] /= res
             misreg_stack = bool(rng.random() < rp.prob_misreg_stack)
@@ -913,9 +997,11 @@ class PSFReconstructor:
                 )
                 mats_rec[:ns] = off.compose(RigidTransform(mats_rec[:ns])).matrix(True)
 
-            Grec_l.append(_slice_affine_table(mats_rec, st["Minv"], st["t_stack"], c_vol, ns))
-            keep_l.append(keep_flat[offset : offset + NS].astype(np.float32))
-            offset += NS
+            Grec_l.append(
+                _slice_affine_table(mats_rec, st["Minv"], st["t_stack"], c_vol, ns, ns_grid)
+            )
+            keep_l.append(keep_flat[offset : offset + ns_grid].astype(np.float32))
+            offset += ns_grid
 
             # inverse stack map placing the stack frame on the recon grid:
             # recon index i sits at volume coordinate c_vol + (i - c_rec)*scale
@@ -923,7 +1009,7 @@ class PSFReconstructor:
             # and p_stack = Minv (q_vol - t_stack).
             A_full = st["Minv"] * scale
             t_full = st["Minv"] @ (c_vol - scale * c_rec - st["t_stack"])
-            qinv_idx, i_ang, i_scl, i_dlt = decompose_affine_paeth_host(A_full, t_full, SS)
+            qinv_idx, i_ang, i_scl, i_dlt = decompose_affine_paeth_host(A_full, t_full, cube)
             qinv_l.append(qinv_idx)
             iang_l.append(i_ang)
             iscl_l.append(i_scl)
@@ -967,10 +1053,12 @@ class PSFReconstructor:
         Kb = int(data.get("kb") or max(len(stacks), 1))
         Kb = max(Kb, len(stacks), 1)
         npad = Kb - len(stacks)
-        zrow = jnp.zeros((NS, SS, SS), jnp.float32)
+        zrow = jnp.zeros((ns_grid, cube, cube), jnp.float32)
         slices_b = jnp.stack(rows + [zrow] * npad)
-        keep_b = np.stack(keep_l + [np.zeros(NS, np.float32)] * npad)
-        Grec_b = np.stack(Grec_l + [np.eye(3, 4, dtype=np.float32)[None].repeat(NS, 0)] * npad)
+        keep_b = np.stack(keep_l + [np.zeros(ns_grid, np.float32)] * npad)
+        Grec_b = np.stack(
+            Grec_l + [np.eye(3, 4, dtype=np.float32)[None].repeat(ns_grid, 0)] * npad
+        )
         qinv_b = np.array(qinv_l + [0] * npad, np.int32)
         iang_b = np.stack(iang_l + [np.zeros(3, np.float32)] * npad).astype(np.float32)
         iscl_b = np.array(iscl_l + [1.0] * npad, np.float32)
@@ -994,21 +1082,37 @@ class PSFReconstructor:
             jnp.asarray(s["merge_volume_on"]),
             mw,
             jnp.asarray(np.array(extent, np.int32)),
-            cube=SS,
-            ns_grid=NS,
+            cube=cube,
+            ns_grid=ns_grid,
             out_shape=tuple(shape),
         )
         return out, mw
 
 
 class SimulateMotion:
-    """Reference-parity motion artifact (``artifacts.py:345-425``):
-    Scanner + PSFReconstructor with ``resolution_recon = resolution``."""
+    """Reference-parity motion artifact (``artifacts.py:345-425``).
 
-    def __init__(self, prob: float, scanner_params: ScannerParams, recon_params: ReconParams):
+    ``resolution_recon`` is pinned to the volume resolution exactly as the
+    reference's own ``SimulateMotion`` does (``artifacts.py:402``:
+    ``self.scanner_args.resolution_recon = res_``) — the random
+    ``resolution_recon ~ U(res, res_slice)`` draw (``simulate_reco.py:174-177``)
+    only fires for a standalone :class:`Scanner` whose params leave it unset,
+    again matching the reference.
+    """
+
+    def __init__(
+        self,
+        prob: float,
+        scanner_params: ScannerParams,
+        recon_params: ReconParams,
+        tiers: tuple = DEFAULT_TIERS,
+        ns_grid: int = NS,
+    ):
         self.prob = prob
         self.scanner_args = scanner_params
         self.recon_args = recon_params
+        self.tiers = tuple(tiers)
+        self.ns_grid = int(ns_grid)
 
     def __call__(
         self, output, seg, genparams=None, resolution=(0.5, 0.5, 0.5), rng=None, key=None, **kw
@@ -1031,8 +1135,9 @@ class SimulateMotion:
         rng = np.random.default_rng(seed)  # internal stream, replayable
 
         res = float(resolution[0])
+        # reference artifacts.py:402 pins resolution_recon to the volume res
         sp = ScannerParams(**{**self.scanner_args.__dict__, "resolution_recon": res})
-        scanner = Scanner(sp)
+        scanner = Scanner(sp, tiers=self.tiers, ns_grid=self.ns_grid)
         recon = PSFReconstructor(self.recon_args)
 
         data = {

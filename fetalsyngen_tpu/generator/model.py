@@ -13,7 +13,7 @@ that is the TPU-first redesign.
 
 from __future__ import annotations
 
-import functools
+import collections
 from pathlib import Path
 from typing import Any, Iterable
 
@@ -42,16 +42,51 @@ def _key_data(key: jax.Array) -> np.ndarray:
     return np.asarray(key)
 
 
-@functools.lru_cache(maxsize=256)
-def _load_seed_cached(path: str) -> np.ndarray:
-    """Host-side seed volume load (RAS-oriented), cached across samples.
+class _HostSeedCache:
+    """Byte-budgeted LRU of decoded host seed volumes.
 
     The reference re-reads 4 seed NIfTIs from disk per sample
     (``rand_gmm.py:90-97``) — the hot IO path flagged in SURVEY §7. Caching
-    the decoded int8 arrays keeps repeated samples of the same subject from
-    touching disk.
+    the decoded arrays keeps repeated samples of the same subject from
+    touching disk. Eviction is by BYTES, not entry count (one 256^3 int16
+    volume is ~33 MB; an unbounded count cap could eat several GB of host
+    RAM) — the same discipline as the HBM ``SeedBankCache``.
     """
-    return np.ascontiguousarray(nifti.load_ras(path).data.astype(np.int16))
+
+    def __init__(self, max_bytes: int = 2_000_000_000, loader=None):
+        self.max_bytes = int(max_bytes)
+        self._loader = loader or (
+            lambda p: np.ascontiguousarray(nifti.load_ras(p).data.astype(np.int16))
+        )
+        self._cache: collections.OrderedDict[str, np.ndarray] = collections.OrderedDict()
+        self._bytes = 0
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    def __len__(self) -> int:
+        return len(self._cache)
+
+    def get(self, path: str) -> np.ndarray:
+        if path in self._cache:
+            self._cache.move_to_end(path)
+            return self._cache[path]
+        arr = self._loader(path)
+        self._cache[path] = arr
+        self._bytes += arr.nbytes
+        while self._bytes > self.max_bytes and len(self._cache) > 1:
+            _, evicted = self._cache.popitem(last=False)
+            self._bytes -= evicted.nbytes
+        return arr
+
+
+_SEED_CACHE = _HostSeedCache()
+
+
+def _load_seed_cached(path: str) -> np.ndarray:
+    """Host-side seed volume load (RAS-oriented), byte-budget cached."""
+    return _SEED_CACHE.get(path)
 
 
 class ImageFromSeeds:
@@ -87,18 +122,22 @@ class ImageFromSeeds:
         """
         genparams = genparams or {}
         rng = rng or np.random.default_rng()
-        # clamp the draw range to subclass counts actually present in the
-        # seed tree (the reference crashes on a partial tree whose
-        # subclasses_{n} dirs don't span min..max; clamping keeps the same
-        # distribution on full trees and degrades gracefully on partial ones)
+        # restrict the draw to subclass counts actually present in the seed
+        # tree (the reference crashes on a partial tree whose subclasses_{n}
+        # dirs don't span min..max; drawing from the intersection keeps the
+        # same distribution on full trees and degrades gracefully on partial
+        # trees — including gapped ones like {1, 3} or ranges disjoint from
+        # the config range)
         avail = sorted(seeds.keys())
-        lo = max(self.cfg.min_subclusters, avail[0])
-        hi = min(self.cfg.max_subclusters, avail[-1])
+        opts = [
+            n for n in avail
+            if self.cfg.min_subclusters <= n <= self.cfg.max_subclusters
+        ] or avail
         if "mlabel2subclusters" in genparams:
             m2s = {int(k): int(v) for k, v in genparams["mlabel2subclusters"].items()}
         else:
             m2s = {
-                ml: int(rng.integers(lo, hi + 1))
+                ml: int(rng.choice(opts))
                 for ml in range(1, self.cfg.meta_labels + 1)
             }
         total: np.ndarray | None = None
@@ -320,8 +359,14 @@ class FetalSynthGen:
             key, None, seg_arr, cfg=self.cfg, overrides=overrides,
             intensity_prior=img_arr, stages=STAGES_AUGMENT,
         )
+        # read the same key augment writes below ("artifacts"), so replaying
+        # augment's own returned dict pins the artifact draws; the legacy
+        # "artifact_params" spelling is accepted for compatibility
         out, artifact_meta = self._apply_artifacts(
-            out, seg_arr, genparams.get("artifact_params", {}), key
+            out,
+            seg_arr,
+            genparams.get("artifacts", genparams.get("artifact_params", {})),
+            key,
         )
         full = genparams_to_dict(p)
         params_out = {

@@ -242,7 +242,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
     coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
-    if not _use_pallas() or not _v1_ok(R, W, OW, H):
+    if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan):
         rows = jnp.arange(R, dtype=jnp.float32)
         ri = jnp.floor(rows / H)
         rj = rows - ri * H
@@ -294,8 +294,21 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
     return out.reshape(D, H, OW)
 
 
-def _v1_ok(R, W, OW, H_rows):
-    return R % BLOCK_ROWS == 0 and W % 128 == 0 and OW % 128 == 0 and H_rows % BLOCK_ROWS == 0
+# Window-capacity invariant of the roll ladder (see _win_geometry's proof):
+# taps l + m <= LB - 1 + span - 1 must stay <= WIN - 128 = LB + 128 after the
+# sub-128 roll, i.e. span <= 130 independent of the lane block. Spans beyond
+# it silently read rolled-garbage lanes — route them to the jnp path instead.
+V1_MAXSPAN = 130
+
+
+def _v1_ok(R, W, OW, H_rows, maxspan=0):
+    return (
+        R % BLOCK_ROWS == 0
+        and W % 128 == 0
+        and OW % 128 == 0
+        and H_rows % BLOCK_ROWS == 0
+        and max(maxspan, V1_MINSPAN) <= V1_MAXSPAN
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -860,7 +873,7 @@ def hat_pass_pair(
     coefs_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
-    if not _use_pallas() or not _v1_ok(R, W, OW, H):
+    if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan):
         a = hat_pass(va, coefs, disp, shape, maxspan, modes[0], out_len=out_len)
         b = hat_pass(vb, coefs, disp, shape, maxspan, modes[1], out_len=out_len)
         return a, b

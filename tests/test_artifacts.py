@@ -174,19 +174,142 @@ class TestCenters:
             assert (c >= 4).all() and (c < 8).all()
 
 
-@pytest.fixture(scope="module")
-def small_scanner():
-    sc.SS = 64
-    sc.ZS = 64
-    sc.NS = 32
-    yield
-    sc.SS = 384
-    sc.ZS = 384
-    sc.NS = 128
+# Small static scanner grids for CPU tests — threaded as explicit parameters
+# (tiers / ns_grid), never by mutating module globals.
+T_CUBE = 64
+T_NSG = 32
 
 
+class TestResolutionSampling:
+    """The scanner's (res_slice, res_recon, thickness, gap) marginals must
+    match the reference laws (``simulate_reco.py:163-191``)."""
+
+    # default.yaml scanner params (configs/dataset/generator/default.yaml:95+)
+    DEFAULT_SP = dict(
+        resolution_slice_fac_min=0.5, resolution_slice_fac_max=2.0,
+        resolution_slice_max=1.5, slice_thickness_min=1.5, slice_thickness_max=3.5,
+        gap_min=1.5, gap_max=5.5, min_num_stack=2, max_num_stack=6,
+        max_num_slices=250, noise_sigma_min=0.0, noise_sigma_max=0.1,
+        TR_min=1.0, TR_max=2.0, prob_void=0.2, prob_gamma=0.1, gamma_std=0.05,
+    )
+
+    def test_marginals_match_reference_laws(self):
+        sp = sc.ScannerParams(**self.DEFAULT_SP)
+        scn = sc.Scanner(sp)
+        res = 0.5
+        rng = np.random.default_rng(0)
+        draws = [scn.get_resolution({"resolution": res}, rng) for _ in range(4000)]
+
+        # draw-for-draw equality with the reference formula sequence
+        ref = np.random.default_rng(0)
+        for d in draws:
+            res_s = ref.uniform(
+                sp.resolution_slice_fac_min * res,
+                min(sp.resolution_slice_fac_max * res, sp.resolution_slice_max),
+            )
+            res_r = res + ref.uniform(0.0, 1.0) * (res_s - res)  # == U(res, res_s)
+            thick = ref.uniform(sp.slice_thickness_min, sp.slice_thickness_max)
+            gap = ref.uniform(sp.gap_min, sp.gap_max)
+            assert d["resolution_slice"] == pytest.approx(res_s)
+            assert d["resolution_recon"] == pytest.approx(res_r)
+            assert d["slice_thickness"] == pytest.approx(thick)
+            assert d["gap"] == pytest.approx(gap)
+
+        # marginal ranges: res_slice spans BELOW the volume resolution
+        # (default config: U(0.25, 1.0) at res = 0.5), res_recon sits between
+        # res and res_slice per draw
+        rss = np.array([d["resolution_slice"] for d in draws])
+        rrs = np.array([d["resolution_recon"] for d in draws])
+        assert rss.min() < res < rss.max()
+        assert rss.min() == pytest.approx(0.25, abs=0.01)
+        assert rss.max() == pytest.approx(1.0, abs=0.01)
+        lo, hi = np.minimum(res, rss), np.maximum(res, rss)
+        assert ((rrs >= lo - 1e-12) & (rrs <= hi + 1e-12)).all()
+        assert (rrs != res).any()  # recon resolution actually randomized
+
+    def test_configured_resolution_recon_pins(self):
+        """``params.resolution_recon`` set -> no draw (simulate_reco.py:174-175);
+        the reference's SimulateMotion pins it this way (artifacts.py:402)."""
+        sp = sc.ScannerParams(**self.DEFAULT_SP, resolution_recon=0.5)
+        d = sc.Scanner(sp).get_resolution({"resolution": 0.5}, np.random.default_rng(1))
+        assert d["resolution_recon"] == 0.5
+
+    def test_genparams_pins(self):
+        """Pins are honored under both our key and the reference's
+        ``resolution_slice_fac`` spelling (simulate_reco.py:163-170 uses the
+        value directly as the slice resolution), without desynchronizing
+        later draws."""
+        sp = sc.ScannerParams(**self.DEFAULT_SP)
+        scn = sc.Scanner(sp)
+        base = scn.get_resolution({"resolution": 0.5}, np.random.default_rng(3))
+        for pin_key in ("resolution_slice", "resolution_slice_fac"):
+            d = scn.get_resolution(
+                {"resolution": 0.5}, np.random.default_rng(3), {pin_key: 0.33}
+            )
+            assert d["resolution_slice"] == 0.33
+            assert d["slice_thickness"] == base["slice_thickness"]
+            assert d["gap"] == base["gap"]
+            # recon draw rescaled onto the pinned interval
+            assert 0.33 <= d["resolution_recon"] <= 0.5
+
+    def test_slice_grid_tiers(self):
+        """Tier selection covers the reference's dynamic slice FOV
+        (simulate_reco.py:349-354) and honors ``slice_size``."""
+        shape = (256, 256, 256)
+        assert sc.slice_grid(shape, 1.0) == 384
+        assert sc.slice_grid(shape, 2.0) == 384
+        assert sc.slice_grid(shape, 0.7) == 512
+        assert sc.slice_grid(shape, 0.5) == 640
+        assert sc.slice_grid(shape, 0.3) == 640  # capped at the largest tier
+        assert sc.slice_grid(shape, 1.0, slice_size=500) == 512
+        assert sc.slice_grid((64, 64, 64), 1.0, tiers=(64, 96)) == 96
+
+    @pytest.mark.slow
+    def test_scan_below_volume_resolution(self):
+        """A full motion sim with res_slice < res (rs = 0.7) runs through the
+        larger tier and reconstructs sanely."""
+        from scipy.ndimage import gaussian_filter
+
+        from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+        shape = (64, 64, 64)
+        _, seg = phantom_seeds_and_seg(shape, seed=1)
+        out = gaussian_filter(
+            (seg > 0).astype(np.float32) * 100 + (seg > 2) * 80, 1.5
+        ).astype(np.float32)
+        sm = sc.SimulateMotion(
+            prob=1.0,
+            tiers=(64, 96),
+            ns_grid=T_NSG,
+            scanner_params=sc.ScannerParams(
+                0.5, 1.5, 2.0, 1.0, 1.5, 1.0, 1.5, 1, 2, 200, 0, 0.0, 1, 1,
+                0.0, 0.0, 0.05, None, False, 0.0,
+            ),
+            recon_params=sc.ReconParams(
+                0.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.1, 0.4, 0.0,
+                ReconMergeParams(
+                    "perlin", perlin_res_list=[1], perlin_octaves_list=[1],
+                    perlin_persistence=0.5, perlin_lacunarity=2,
+                    perlin_increase_size=0.25,
+                ),
+            ),
+        )
+        pins = {"resolution_slice": 0.35, "slice_thickness": 1.5, "gap": 1.0}
+        o, meta = sm(
+            out, seg.astype(np.int32), genparams=pins, resolution=(0.5, 0.5, 0.5),
+            rng=np.random.default_rng(5), key=jax.random.PRNGKey(5),
+        )
+        assert meta["resolution_slice"] == 0.35
+        assert sc.slice_grid(shape, 0.7, tiers=(64, 96)) == 96  # the tier it ran on
+        o = np.asarray(o)
+        assert np.isfinite(o).all()
+        c = np.corrcoef(o[8:56, 8:56, 8:56].ravel(), out[8:56, 8:56, 8:56].ravel())[0, 1]
+        assert c > 0.85, c
+
+
+@pytest.mark.slow
 class TestScanner:
-    def test_motion_sim_runs_and_reconstructs(self, small_scanner):
+    def test_motion_sim_runs_and_reconstructs(self):
         from scipy.ndimage import gaussian_filter
 
         from fetalsyngen_tpu.testing import phantom_seeds_and_seg
@@ -198,6 +321,8 @@ class TestScanner:
         )
         sm = sc.SimulateMotion(
             prob=1.0,
+            tiers=(T_CUBE,),
+            ns_grid=T_NSG,
             scanner_params=sc.ScannerParams(
                 1.0, 1.5, 2.0, 1.0, 1.5, 1.0, 1.5, 1, 2, 200, 0, 0.0, 1, 1, 0.0, 0.0, 0.05,
                 None, False, 0.0,
@@ -238,6 +363,7 @@ class TestScanner:
         assert not np.allclose(np.asarray(o3), o)
 
 
+@pytest.mark.slow
 class TestSliceAcqParity:
     """Voxel-level A/B of the TPU acquisition/adjoint vs the reference's
     executable spec — the sparse-COO CPU fallback of ``slice_acq_cuda``
@@ -249,7 +375,7 @@ class TestSliceAcqParity:
     differs by the same class of error)."""
 
     @pytest.fixture(scope="class")
-    def stack_ab(self, small_scanner):
+    def stack_ab(self):
         from scipy.ndimage import gaussian_filter
 
         from fetalsyngen_tpu.generator.artifacts.motion import sample_motion
@@ -268,14 +394,14 @@ class TestSliceAcqParity:
 
         res, res_s, thick, gap = 0.5, 0.6, 1.5, 1.2
         rs, gap_vox = res_s / res, gap / res
-        ns = min(int(max(shape) * res / gap) + 2, sc.NS)
+        ns = min(int(max(shape) * res / gap) + 2, T_NSG)
         t_init = random_init_stack_transforms(ns, gap, False, 3.0, rng)
         t_target = sample_motion(np.arange(ns) * 1.0, rng).compose(t_init)
         mats_vox = t_target.matrix(True).copy()
         mats_vox[:, :, 3] /= res
 
-        geo = sc._stack_geometry(t_init.matrix(True)[0, :, :3], mats_vox, shape, ns)
-        z0 = float((sc.SS - 1) / 2.0 - (ns - 1) / 2.0 * gap_vox)
+        geo = sc._stack_geometry(t_init.matrix(True)[0, :, :3], mats_vox, shape, ns, T_CUBE, T_NSG)
+        z0 = float((T_CUBE - 1) / 2.0 - (ns - 1) / 2.0 * gap_vox)
         sig = jnp.asarray(
             [sc.GAUSSIAN_FWHM * thick / res, sc.SINC_FWHM * rs, sc.SINC_FWHM * rs],
             jnp.float32,
@@ -287,7 +413,7 @@ class TestSliceAcqParity:
             jnp.asarray(geo["G"]), jnp.float32(rs), jnp.float32(gap_vox), jnp.float32(z0),
             sig, jnp.float32(0.15), jnp.int32(ns),
             jax.random.PRNGKey(0), jnp.float32(1.0), jnp.asarray(False), jnp.float32(0.0),
-            jnp.float32(0.0), jnp.float32(0.1), cube=sc.SS, ns_grid=sc.NS,
+            jnp.float32(0.0), jnp.float32(0.1), cube=T_CUBE, ns_grid=T_NSG,
         )
         return dict(
             vol=vol, shape=shape, ns=ns, rs=rs, gap_vox=gap_vox, z0=z0,
@@ -303,7 +429,7 @@ class TestSliceAcqParity:
         s = stack_ab
         psf = get_psf(res_ratio=(s["rs"], s["rs"], s["thick"] / s["res"]))
         ref = psf_slice_acquisition_ref(
-            s["mats_vox"][: s["ns"]], s["vol"], psf, (sc.SS, sc.SS), s["rs"]
+            s["mats_vox"][: s["ns"]], s["vol"], psf, (T_CUBE, T_CUBE), s["rs"]
         )
         corrs, rels = [], []
         for n in range(s["ns"]):
@@ -330,14 +456,14 @@ class TestSliceAcqParity:
             [sc.GAUSSIAN_FWHM * s["thick"] / s["res"], sc.SINC_FWHM * s["rs"]], jnp.float32
         )
         i_q, i_ang, i_scl, i_dlt = sc.decompose_affine_paeth_host(
-            geo["Minv"], -geo["Minv"] @ geo["t_stack"], sc.SS
+            geo["Minv"], -geo["Minv"] @ geo["t_stack"], T_CUBE
         )
         v_s, w_s = sc._recon_stack(
             s["slices_dev"], jnp.asarray(s["valid"].astype(np.float32)),
             jnp.asarray(geo["G"]), jnp.float32(s["rs"]), jnp.float32(s["gap_vox"]),
             jnp.float32(s["z0"]), sig_rec,
             jnp.int32(i_q), jnp.asarray(i_ang), jnp.float32(i_scl), jnp.asarray(i_dlt),
-            cube=sc.SS, ns_grid=sc.NS, out_shape=s["shape"],
+            cube=T_CUBE, ns_grid=T_NSG, out_shape=s["shape"],
         )
         ours_v, ours_w = np.asarray(v_s), np.asarray(w_s)
         recon_ours = np.where(ours_w > 1e-2, ours_v / np.where(ours_w > 1e-2, ours_w, 1), 0)
@@ -355,8 +481,9 @@ class TestSliceAcqParity:
         assert rel < 0.15, rel
 
 
+@pytest.mark.slow
 class TestQualityArtifacts:
-    def test_blur_cortex(self, small_scanner):
+    def test_blur_cortex(self):
         from fetalsyngen_tpu.testing import phantom_seeds_and_seg
 
         _, seg = phantom_seeds_and_seg((64, 64, 64), seed=1)
@@ -365,6 +492,39 @@ class TestQualityArtifacts:
         o, m = bc(out, seg.astype(np.int32), rng=np.random.default_rng(2), key=jax.random.PRNGKey(2))
         assert np.isfinite(np.asarray(o)).all() and m["nblur"] is not None
         assert not np.allclose(np.asarray(o), out)
+
+    def test_blur_cortex_sigma_untruncated(self):
+        """The blur-sigma draw is the reference's unclipped gamma(2, 1)
+        (artifacts.py:104): P(sigma > 3) ~ 0.20 per axis, so the old
+        np.clip(std, 0, 3) altered ~a fifth of draws. Checks the draw
+        distribution (KS vs the gamma CDF) and that the blur operator
+        actually supports tail sigmas (half_len covers sigma ~ 8)."""
+        from scipy import stats
+        from scipy.ndimage import gaussian_filter1d
+
+        from fetalsyngen_tpu.ops.linops import toeplitz_blur_matrix
+
+        bc = BlurCortex(prob=1.0, cortex_label=2, nblur_min=3, nblur_max=6)
+        from fetalsyngen_tpu.testing import phantom_seeds_and_seg
+
+        _, seg = phantom_seeds_and_seg((32, 32, 32), seed=1)
+        out = np.abs(RNG.normal(100, 30, (32, 32, 32))).astype(np.float32)
+        stds = []
+        for i in range(60):
+            _, m = bc(out, seg.astype(np.int32), rng=np.random.default_rng(1000 + i),
+                      key=jax.random.PRNGKey(i))
+            stds.extend(m["std_blurs"])
+        stds = np.array(stds)
+        assert stds.max() > 3.0  # the clip is gone (P(all<3) ~ 3e-15)
+        assert stats.kstest(stds, stats.gamma(a=2, scale=1).cdf).pvalue > 0.01
+
+        # operator supports the tail: sigma = 8 row matches scipy
+        M = np.asarray(toeplitz_blur_matrix(jnp.float32(8.0), 128, 25))
+        delta = np.zeros(128, np.float32)
+        delta[64] = 1.0
+        want = gaussian_filter1d(delta, 8.0, truncate=3.0)
+        got = M @ delta
+        np.testing.assert_allclose(got, want / want.sum() * got.sum(), atol=2e-3)
 
     def test_boundaries_mask_zeroes_background(self):
         from fetalsyngen_tpu.testing import phantom_seeds_and_seg
