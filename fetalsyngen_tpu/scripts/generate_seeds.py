@@ -8,22 +8,19 @@ k-means++ init), and write one int8 NIfTI per (n_subclasses, meta-label).
 Fan-out: one process per (subject, n_subclasses) task.
 
 Example:
-    python scripts/generate_seeds.py --bids_path ./data --out_path ./data/derivatives/seeds \
+    python -m fetalsyngen_tpu.scripts.generate_seeds.py --bids_path ./data --out_path ./data/derivatives/seeds \
         --max_subclasses 6 --annotation feta
 """
 
 from __future__ import annotations
 
 import argparse
-import sys
 from multiprocessing import Pool, cpu_count
 from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from fetalsyngen_tpu.io import nifti  # noqa: E402
+from fetalsyngen_tpu.io import nifti
 
 # segmentation label -> meta-label maps (reference generate_seeds.py:64-85)
 FETA2META = {1: 1, 4: 1, 2: 2, 6: 2, 5: 3, 7: 3, 3: 3}

@@ -8,21 +8,18 @@ crop + pad to 256^3 — using this framework's host transforms instead of MONAI.
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from fetalsyngen_tpu.data.transforms import (  # noqa: E402
+from fetalsyngen_tpu.data.transforms import (
     CenterSpatialCropd,
     Compose,
     Orientationd,
     SpatialPadd,
     Spacingd,
 )
-from fetalsyngen_tpu.io import nifti  # noqa: E402
+from fetalsyngen_tpu.io import nifti
 
 
 def main():

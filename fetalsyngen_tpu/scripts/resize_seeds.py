@@ -3,14 +3,11 @@
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from fetalsyngen_tpu.io import nifti  # noqa: E402
+from fetalsyngen_tpu.io import nifti
 
 
 def main():
