@@ -79,10 +79,13 @@ def bench_artifacts(shape_edge: int, samples: int):
             )
         return float(jnp.sum(o[::64, ::64, ::64]))  # device sync
 
-    # warmup = the exact index sequence the timed pass replays, so every
-    # (host-branch, static-arg) program variant the timed draws hit is
-    # already compiled (and lands in the persistent cache for future runs)
-    for i in range(1, samples + 1):
+    # warmup on a DISJOINT index range (2x as many draws), so the timed
+    # samples are fresh draws, not replays of pre-compiled exact sequences.
+    # Host-branch program variants (artifact gates, merge types, cube tiers)
+    # are still expected to be compiled by the warmup / the persistent cache;
+    # a timed draw that hits a brand-new variant pays its compile — that is
+    # what a production user pays too.
+    for i in range(samples + 1, 3 * samples + 1):
         one(i)
     t0 = time.perf_counter()
     for i in range(1, samples + 1):
@@ -102,10 +105,12 @@ def bench_artifacts(shape_edge: int, samples: int):
     )
 
 
-def bench_stream(shape_edge: int, batch: int, iters: int):
+def bench_stream(shape_edge: int, batch: int, iters: int, artifacts: bool = True):
     """End-to-end production path: BIDS tree on disk -> native IO -> device
-    seed banks -> jitted batched generation (``SyntheticStream``), wall-clock
-    volumes/sec/chip including all host work."""
+    seed banks -> jitted batched generation + the default-probability
+    SR-artifact chain (``SyntheticStream``), wall-clock volumes/sec/chip
+    including all host work. ``artifacts=False`` reproduces the artifact-free
+    core-pipeline number."""
     import tempfile
     from pathlib import Path
 
@@ -132,14 +137,30 @@ def bench_stream(shape_edge: int, batch: int, iters: int):
                 part = np.where(seeds_np % 4 == (m - 1), seeds_np, 0).astype(np.int8)
                 nifti.save(sd / f"{sub}_mlabel_{m}.nii.gz", part)
 
-    import __graft_entry__ as ge
+    if artifacts:
+        # the FULL default generator incl. the 4 SR artifacts at their YAML
+        # default probabilities — the reference's dataset path applies them
+        # inside sample (fetalsyngen/generator/model.py:210-220)
+        from fetalsyngen_tpu.config import load_yaml, resolve_interpolations, instantiate
 
-    generator_cfg = ge._default_cfg(shape)
-    # dataset needs a FetalSynthGen-like object exposing .cfg
-    class _Gen:
-        cfg = generator_cfg
+        gen_cfg = resolve_interpolations(
+            load_yaml("configs/dataset/generator/default.yaml")
+        )
+        gen_cfg["shape"] = list(shape)
+        gen_cfg["spatial_deform"]["size"] = list(shape)
+        generator = instantiate(gen_cfg)
+    else:
+        import __graft_entry__ as ge
 
-    ds = FetalSynthDataset(str(root), _Gen(), str(root / "derivatives" / "seeds"))
+        generator_cfg = ge._default_cfg(shape)
+        # dataset needs a FetalSynthGen-like object exposing .cfg
+        class _Gen:
+            cfg = generator_cfg
+            artifacts = {}
+
+        generator = _Gen()
+
+    ds = FetalSynthDataset(str(root), generator, str(root / "derivatives" / "seeds"))
     stream = SyntheticStream(ds, batch_size=batch, seed=0, prefetch=True)
     it = iter(stream)
 
@@ -155,10 +176,11 @@ def bench_stream(shape_edge: int, batch: int, iters: int):
         float(jnp.sum(b["image"][..., ::64, ::64, ::64]))
     dt = time.perf_counter() - t0
     vols = batch * iters / dt
+    tag = "+artifacts" if artifacts else ""
     print(
         json.dumps(
             {
-                "metric": f"end-to-end stream {shape_edge}^3 volumes/sec/chip",
+                "metric": f"end-to-end stream{tag} {shape_edge}^3 volumes/sec/chip",
                 "value": round(vols, 4),
                 "unit": "vol/s/chip",
                 "vs_baseline": round(vols / REFERENCE_VOLS_PER_SEC, 4),
@@ -174,6 +196,10 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--artifacts", action="store_true", help="bench the SR-artifact pipeline")
     ap.add_argument("--stream", action="store_true", help="bench the end-to-end input stream")
+    ap.add_argument(
+        "--no-artifacts", action="store_true",
+        help="with --stream: disable the SR-artifact chain (core pipeline only)",
+    )
     ap.add_argument("--samples", type=int, default=3)
     args = ap.parse_args()
 
@@ -181,7 +207,7 @@ def main():
         bench_artifacts(args.shape, args.samples)
         return
     if args.stream:
-        bench_stream(args.shape, args.batch, args.iters)
+        bench_stream(args.shape, args.batch, args.iters, artifacts=not args.no_artifacts)
         return
 
     from fetalsyngen_tpu.generator.config import GeneratorCfg, IntensityCfg

@@ -132,15 +132,104 @@ def _gen_batch(sub, bank, seg, lo, hi, B, cfg):
     return jax.vmap(one)(keys, choices)
 
 
+def _make_batch_fn(cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int):
+    """Build the fused per-batch program: seed composition from a multi-
+    subject bank, the batched synth pipeline, and (when configured) the FULL
+    SR-artifact chain — blur_cortex -> struct_noise -> simulate_motion ->
+    boundaries, then the [0, 1] rescale — matching the reference's dataset
+    path (``fetalsyngen/generator/model.py:210-220``, ``datasets.py:311``).
+
+    The synth core is vmapped (small per-sample footprint); the artifact
+    chain runs under ``lax.map`` so only one sample's scanner buffers are
+    live at a time.
+    """
+    from ..generator.artifacts.batched import (
+        apply_post_motion,
+        apply_pre_motion,
+        motion_t,
+    )
+
+    has_quality = qa is not None and (
+        qa.blur_cortex is not None or qa.struct_noise is not None or qa.boundaries is not None
+    )
+    has_motion = sm is not None
+
+    def fn(sub, mega, segs, hi, subj, pack):
+        S, n_opt = mega.shape[0], mega.shape[1]
+        keys = jax.random.split(sub, B)
+        u = jax.random.uniform(jax.random.fold_in(sub, 2), (B, 4))
+
+        def synth_one(key, sj, uu):
+            hi_s = hi[sj]
+            ch = lo + jnp.floor(uu * (hi_s - lo).astype(jnp.float32)).astype(jnp.int32)
+            ch = jnp.clip(ch, lo, hi_s - 1)
+            flat = mega.reshape(S * n_opt, 4, *shape)
+            picked = flat[sj * n_opt + ch, jnp.arange(4)]
+            seeds = picked.astype(jnp.int32).sum(axis=0)
+            seg = segs[sj].astype(jnp.int32)
+            out, seg_o, _, _ = _synth_core(
+                key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
+            )
+            return out, seg_o
+
+        outs, segs_o = jax.vmap(synth_one)(keys, subj, u)
+
+        if has_quality or has_motion:
+            def art_one(args):
+                key, o, sg, row = args
+                ka = jax.random.fold_in(key, 77)
+                if has_quality:
+                    o = apply_pre_motion(ka, o, sg, qa)
+                if has_motion:
+                    o = motion_t(
+                        jax.random.fold_in(ka, 303), o, sg, row, sm, shape, cube, ns_grid
+                    )
+                if has_quality:
+                    o = apply_post_motion(ka, o, sg, qa)
+                return o
+
+            outs = jax.lax.map(art_one, (keys, outs, segs_o, pack))
+
+        peak = jnp.max(outs, axis=(1, 2, 3), keepdims=True)
+        outs = outs / jnp.where(peak > 0, peak, 1.0)
+        return outs, segs_o
+
+    return jax.jit(fn)
+
+
 class SyntheticStream:
     """Iterator of device-generated batches from a ``FetalSynthDataset``.
 
-    Each batch draws one subject (round-robin), composes per-sample seeds on
-    device, and runs the jitted batched pipeline. With ``prefetch=True`` the
-    next batch is generated while the caller consumes the current one.
+    Each batch mixes subjects per ELEMENT from a device-resident multi-
+    subject seed bank (the reference's DataLoader mixes subjects per sample,
+    ``test_dl.py:17-23``), composes per-sample seeds on device, and runs the
+    jitted batched pipeline — including the generator's SR-artifact chain
+    when ``artifacts`` is enabled (in-program randomness; see
+    ``generator/artifacts/batched.py`` for the documented deviations vs the
+    replay-faithful host path). With ``prefetch=True`` the next batch is
+    generated while the caller consumes the current one.
+
+    Args:
+        artifacts: apply the generator's configured SR artifacts inside the
+            batch program (default True — matching the reference's dataset
+            path). Generators with no artifacts configured are unaffected.
+        mix_subjects: number of subjects resident on device at once (batch
+            elements draw uniformly among them). The resident set rotates
+            round-robin by one subject per batch, so the stream still sweeps
+            the whole dataset.
     """
 
-    def __init__(self, dataset, batch_size: int = 4, seed: int = 0, prefetch: bool = True):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 4,
+        seed: int = 0,
+        prefetch: bool = True,
+        artifacts: bool = True,
+        mix_subjects: int = 2,
+        cube: int | None = None,
+        ns_grid: int | None = None,
+    ):
         self.dataset = dataset
         self.cfg: GeneratorCfg = dataset.generator.cfg
         self.batch_size = batch_size
@@ -152,35 +241,111 @@ class SyntheticStream:
         self._segs = {}
         self._i = 0
 
+        gen_art = getattr(dataset.generator, "artifacts", {}) or {}
+        self._sm = gen_art.get("simulate_motion") if artifacts else None
+        if artifacts:
+            from ..generator.artifacts.batched import QualityArtifacts
+
+            self._qa = QualityArtifacts.from_generator(dataset.generator)
+        else:
+            self._qa = None
+        shape = tuple(self.cfg.shape)
+        if cube is None:
+            tiers = self._sm.tiers if self._sm is not None else (384, 512, 640)
+            cube = min(c for c in tiers if c >= max(shape)) if any(
+                c >= max(shape) for c in tiers
+            ) else max(tiers)
+        self.cube = int(cube)
+        self.ns_grid = int(
+            ns_grid if ns_grid is not None else getattr(self._sm, "ns_grid", 128)
+        )
+        self._shape = shape
+        self.mix_subjects = max(1, min(int(mix_subjects), len(self._names)))
+        self._resident: list[str] = []
+        self._mega = None
+        self._megasegs = None
+        self._hi = None
+        self._batch_fn = None
+
     def _seg(self, name: str) -> jnp.ndarray:
         if name not in self._segs:
             idx = [self.dataset._sub_ses_idx(i) for i in range(len(self.dataset.sub_ses))].index(
                 name
             )
             self._segs[name] = jnp.asarray(
-                nifti.load_ras(str(self.dataset.segm_paths[idx])).data, jnp.int32
+                nifti.load_ras(str(self.dataset.segm_paths[idx])).data.astype(np.int16)
             )
         return self._segs[name]
 
-    def _generate(self):
-        name = self._names[self._i % len(self._names)]
+    def _rotate_residents(self):
+        """Advance the resident subject set by one (round-robin) and restack
+        the device mega-bank. Stacking device-cached banks is an HBM-to-HBM
+        copy (~ms); host IO only happens on a cache miss."""
+        want = [
+            self._names[(self._i + j) % len(self._names)]
+            for j in range(self.mix_subjects)
+        ]
         self._i += 1
-        bank = self._banks.bank(name)
-        seg = self._seg(name)
-        n_opts = bank.shape[0]
+        if want == self._resident:
+            return
+        self._resident = want
+        banks = [self._banks.bank(n) for n in want]
+        n_opt = max(b.shape[0] for b in banks)
+        padded = [
+            b
+            if b.shape[0] == n_opt
+            else jnp.concatenate([b, jnp.repeat(b[-1:], n_opt - b.shape[0], 0)])
+            for b in banks
+        ]
+        self._mega = jnp.stack(padded)
+        self._megasegs = jnp.stack([self._seg(n) for n in want])
+        self._hi = jnp.asarray(
+            [
+                min(self.cfg.intensity.max_subclusters, b.shape[0])
+                for b in banks
+            ],
+            jnp.int32,
+        )
+
+    def _generate(self):
         B = self.batch_size
+        if self._mega is None or len(self._names) > self.mix_subjects:
+            self._rotate_residents()
+        lo = max(self.cfg.intensity.min_subclusters - 1, 0)
+        if self._batch_fn is None:
+            self._batch_fn = _make_batch_fn(
+                self.cfg, self._shape, self._qa, self._sm, self.cube, self.ns_grid, B, lo
+            )
 
         self._key, sub = jax.random.split(self._key)
-        icfg = self.cfg.intensity
-        lo = max(icfg.min_subclusters - 1, 0)
-        hi = min(icfg.max_subclusters, n_opts)
+        if self._sm is not None:
+            from ..generator.artifacts.batched import pack_motion
+
+            pack = pack_motion(
+                self._rng, B, self._shape, float(self.cfg.resolution[0]),
+                self._sm, self.cube, self.ns_grid,
+            )
+            pack = jax.tree.map(jnp.asarray, pack)
+        else:
+            pack = {}
+
+        # subject per batch ELEMENT (host draw, so the per-sample subject
+        # names are known without a device fetch)
+        subj = self._rng.integers(0, len(self._resident), B)
 
         # ONE device call per batch: key split, subcluster choices, seed
-        # composition, the batched pipeline, and [0,1] scaling all live in a
-        # single jitted program (per-batch host dispatches cost ~ms-level
-        # tunnel latency each).
-        images, labels = _gen_batch(sub, bank, seg, lo, hi, B, self.cfg)
-        return {"image": images, "label": labels, "name": name}
+        # composition, the batched pipeline, the artifact chain, and [0,1]
+        # scaling all live in a single jitted program (per-batch host
+        # dispatches cost ~ms-level tunnel latency each).
+        images, labels = self._batch_fn(
+            sub, self._mega, self._megasegs, self._hi,
+            jnp.asarray(subj, jnp.int32), pack,
+        )
+        return {
+            "image": images,
+            "label": labels,
+            "name": tuple(self._resident[int(s)] for s in subj),
+        }
 
     def __iter__(self):
         if not self.prefetch:
