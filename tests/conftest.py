@@ -4,6 +4,12 @@ Env vars alone are NOT enough on hosts whose sitecustomize force-registers a
 TPU platform plugin and overwrites ``jax_platforms`` at interpreter start —
 we must override the config again, before any backend initialization (this
 file imports before every test module, so placing it here is sufficient).
+
+Selection policy: compile-heavy tests (full-pipeline / scanner / stream
+programs, minutes of cold XLA compile each) carry ``@pytest.mark.slow``.
+``pytest tests/ -m "not slow"`` is the quick gate (~90 tests, <3 min cold);
+the FULL suite is the pre-merge bar and runs warm in ~5 min once the
+persistent compilation cache (JAX_COMPILATION_CACHE_DIR) is populated.
 """
 
 import os

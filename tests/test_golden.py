@@ -14,6 +14,8 @@ separately by ``tests_tpu/`` on a real chip.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles the full 64-cube pipeline
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-pipeline programs: ~5 min cold compile
+
 import jax
 import jax.numpy as jnp
 
