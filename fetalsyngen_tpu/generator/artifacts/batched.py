@@ -178,27 +178,28 @@ def struct_noise_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sn: Struc
         noisy = jnp.clip(out + noise_std * noise, 0, out.max() * 2)
 
         if mp.merge_type == "perlin":
-            # res is a static lattice period: evaluate each listed variant
-            # and select by the traced draw (list is 1-2 entries by config)
+            # res is a static lattice period: lax.switch over one branch per
+            # listed variant — only the DRAWN variant's noise is computed
+            # (jnp.select would evaluate all of them every sample)
             ridx = jax.random.randint(k2, (), 0, len(mp.perlin_res_list))
             octave = jnp.asarray(mp.perlin_octaves_list)[
                 jax.random.randint(k3, (), 0, len(mp.perlin_octaves_list))
             ]
-            variants = [
-                fractal_noise_3d(
-                    ksig,
-                    shape,
-                    (int(r), int(r), int(r)),
-                    octaves=octave,
-                    persistence=mp.perlin_persistence,
-                    lacunarity=mp.perlin_lacunarity,
-                    increase=mp.perlin_increase_size,
-                    max_octaves=int(max(mp.perlin_octaves_list)),
-                )
-                for r in mp.perlin_res_list
-            ]
-            weight = jnp.select(
-                [ridx == i for i in range(len(variants))], variants
+            weight = lax.switch(
+                ridx,
+                [
+                    (lambda r=r: fractal_noise_3d(
+                        ksig,
+                        shape,
+                        (int(r), int(r), int(r)),
+                        octaves=octave,
+                        persistence=mp.perlin_persistence,
+                        lacunarity=mp.perlin_lacunarity,
+                        increase=mp.perlin_increase_size,
+                        max_octaves=int(max(mp.perlin_octaves_list)),
+                    ))
+                    for r in mp.perlin_res_list
+                ],
             )
         else:  # gaussian
             nloc = jax.random.randint(k2, (), mp.gauss_nloc_min, mp.gauss_nloc_max)
@@ -594,17 +595,20 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
 
         kmw = jax.random.fold_in(key, 305)
         if mp.merge_type == "perlin":
-            variants = [
-                fractal_noise_3d(
-                    kmw, shape, (int(r), int(r), int(r)), octaves=row["octave"],
-                    persistence=mp.perlin_persistence,
-                    lacunarity=mp.perlin_lacunarity,
-                    increase=mp.perlin_increase_size,
-                    max_octaves=int(max(mp.perlin_octaves_list)),
-                )
-                for r in mp.perlin_res_list
-            ]
-            mw = jnp.select([row["mres_idx"] == i for i in range(len(variants))], variants)
+            # one branch per static lattice period; only the drawn one runs
+            mw = lax.switch(
+                row["mres_idx"],
+                [
+                    (lambda r=r: fractal_noise_3d(
+                        kmw, shape, (int(r), int(r), int(r)), octaves=row["octave"],
+                        persistence=mp.perlin_persistence,
+                        lacunarity=mp.perlin_lacunarity,
+                        increase=mp.perlin_increase_size,
+                        max_octaves=int(max(mp.perlin_octaves_list)),
+                    ))
+                    for r in mp.perlin_res_list
+                ],
+            )
         else:
             centers, cvalid = masked_random_centers(
                 kmw, (seg > 0).astype(jnp.int32), 8, row["ngauss"]

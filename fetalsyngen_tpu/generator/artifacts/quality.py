@@ -150,7 +150,8 @@ class BlurCortex:
             # draw-then-override: pinned genparams must not skip rng draws,
             # or the host stream desynchronizes for later values
             nblur = int(rng.integers(self.nblur_min, self.nblur_max))
-            nblur = int(genparams.get("nblur", nblur))
+            _pin = genparams.get("nblur")
+            nblur = int(_pin) if _pin is not None else nblur
             # unclipped gamma draw, matching the reference
             # (np.random.gamma(2, 1, 3), artifacts.py:104); the blur
             # operator's half-length covers the practical gamma tail
@@ -232,7 +233,8 @@ class StructNoise:
         if rng.random() < self.prob or "nloc" in genparams or "nstages" in genparams:
             # draw-then-override (see BlurCortex)
             nstages = int(rng.integers(self.nstages_min, self.nstages_max))
-            nstages = int(genparams.get("nstages", nstages))
+            _pin = genparams.get("nstages")
+            nstages = int(_pin) if _pin is not None else nstages
             noise_std = self.std_min + (self.std_max - self.std_min) * rng.random()
             key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
             output = jnp.asarray(output, jnp.float32)
@@ -251,8 +253,11 @@ class StructNoise:
                 # or the host stream desynchronizes for later values
                 res = int(rng.choice(mp.perlin_res_list))
                 octave = int(rng.choice(mp.perlin_octaves_list))
-                res = int(genparams.get("res", res))
-                octave = int(genparams.get("octave", octave))
+                # tolerate explicit None pins (treated as "not pinned")
+                _pin_res = genparams.get("res")
+                _pin_oct = genparams.get("octave")
+                res = int(_pin_res) if _pin_res is not None else res
+                octave = int(_pin_oct) if _pin_oct is not None else octave
                 weight = fractal_noise_3d(
                     jax.random.fold_in(key, 2),
                     output.shape,
@@ -267,7 +272,8 @@ class StructNoise:
             else:  # gaussian
                 # draw-then-override (see perlin branch)
                 nloc = int(rng.integers(mp.gauss_nloc_min, mp.gauss_nloc_max))
-                nloc = int(genparams.get("nloc", nloc))
+                _pin = genparams.get("nloc")
+                nloc = int(_pin) if _pin is not None else nloc
                 wm = (seg == self.wm_label).astype(jnp.int32)
                 centers, valid = masked_random_centers(
                     jax.random.fold_in(key, 3), wm, self.MAX_LOC, nloc

@@ -21,6 +21,11 @@ Every arrow is a separable MXU matmul or a hat-kernel pass (ops/warp.py).
 The factored acquisition (rotate-blur-sample) is mathematically the
 reference's PSF model: sampling a slice-frame-oriented Gaussian PSF equals
 sampling the volume rotated into the slice frame and blurred axis-aligned.
+The z extraction/placement passes (lane slope ``gap_vox`` resp.
+``1/gap_vox``) are factored into unit-slope deviation hats + affine interp
+MATMULS (``_extract_pair``/``_recon_one`` docstrings) — the hat kernel's
+windowed taps only cover near-unit lane slopes, and the matmul puts the
+resolution change on the MXU where it belongs.
 
 Dispatch structure (v3, round 2): the WHOLE multi-stack scan is ONE jitted
 call (`_acquire_stacks`, a ``lax.map`` over a packed per-stack geometry
@@ -217,14 +222,51 @@ def _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col):
     return dz, dv, du
 
 
-def _extract_pair(Wv, Wm, z_coefs, dz, dv, du, cube, ns_grid):
-    """Sample NS slices from (volume, mask) stack frames with shared motion."""
+def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
+    """Sample NS slices from (volume, mask) stack frames with shared motion.
+
+    The z extraction ``out(n) = V[z0 + gap_vox*n + dz(n)]`` has lane slope
+    ``gap_vox`` (3-11 at default configs) — far past the hat kernel's
+    windowed-tap capacity (a 128-lane block's position spread is
+    ``(slope-1)*127``, vs the 48-tap window; overflowing taps clamp to
+    garbage). It is instead factored into two slope-1 steps that ARE
+    kernel-friendly:
+
+      1. a unit-slope deviation pass ``V'[z] = V[z + dz(n_near(z))]`` where
+         ``n_near(z)`` is the NEAREST slice index of z, and
+      2. an affine interpolation matmul ``out(n) = V'[z0 + gap_vox*n]`` on
+         the MXU (``interp_matrix``).
+
+    For ``gap_vox > 2`` the factorization is EXACT (not first-order): both
+    integer-z taps of step 2 lie within half a gap of slice n, so
+    ``n_near`` maps them to n and step 1 already displaced them by exactly
+    ``dz(n)``. (Interleaved acquisition makes dz(n) non-smooth across n, so
+    exactness per-slice matters; a linear-in-n resampling of dz would mix
+    adjacent slices' motion states.) Default configs give
+    ``gap_vox = gap/res >= 3``.
+    """
     x = jnp.transpose(Wv, (1, 2, 0))  # (v, u, z)
     m = jnp.transpose(Wm, (1, 2, 0))
-    x, m = hat_pass_pair(
-        x, m, z_coefs, jnp.transpose(dz, (1, 2, 0)), (cube, cube, cube), 48,
-        out_len=ns_grid, modes=(False, False),
+    lanes = jnp.arange(cube, dtype=jnp.float32)
+    n_near = jnp.clip(jnp.round((lanes - z0) / gap_vox), 0, ns_grid - 1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cube, ns_grid), 1)
+    Nz = (cols == n_near[:, None]).astype(jnp.float32)  # (cube, ns_grid) one-hot
+    # dz is affine per slice (dz = a1*vn + a2*un + a3, _slice_fields), so
+    # dz(n_near(z)) is three tiny one-hot matvecs + a broadcast FMA — no
+    # cube^3 contraction or transpose of the materialized field needed
+    a123 = jnp.einsum("zn,nc->zc", Nz, dz["coef"])  # (cube, 3)
+    dz_src = (
+        a123[:, 0] * dz["vn"][:, None, None]  # vn varies along axis 0 (v)
+        + a123[:, 1] * dz["un"][None, :, None]  # un along axis 1 (u)
+        + a123[:, 2]
     )
+    x, m = hat_pass_pair(
+        x, m, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48,
+        modes=(False, False), unit_slope=True,
+    )
+    Mzn = interp_matrix(z0 + gap_vox * jnp.arange(ns_grid, dtype=jnp.float32), cube)
+    x = apply_axis_matrix(x, Mzn, 2)  # (v, u, n)
+    m = apply_axis_matrix(m, Mzn, 2)
     x, m = jnp.transpose(x, (2, 0, 1)), jnp.transpose(m, (2, 0, 1))  # (n, v, u)
     x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
     x, m = hat_pass_pair(
@@ -306,23 +348,36 @@ def _acquire_one(
     )
 
     # acquisition PSF blur (volume only; mask slices are PSF-free,
-    # simulate_reco.py:399-407) + xy scale to slice-pixel spacing
+    # simulate_reco.py:399-407) + xy scale to slice-pixel spacing. The
+    # in-plane blur and scale operators COMPOSE into one matmul per axis
+    # (scale_m @ blur_m is a (cube, cube) matmul, ~1e-4 of the volume
+    # contraction cost) — 3 volume contractions instead of 5.
+    from ...ops.linops import _prec
+
     c_ss = (cube - 1) / 2.0
     lanes = jnp.arange(cube, dtype=jnp.float32)
     scale_m = interp_matrix((lanes - c_ss) * rs + c_ss, cube)
-    for axis, s in enumerate(sig):
-        Wv = apply_axis_matrix(Wv, toeplitz_blur_matrix(s, cube, _BLUR_HALF), axis)
-    Wv = apply_axis_matrix(apply_axis_matrix(Wv, scale_m, 1), scale_m, 2)
+    sb1 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[1], cube, _BLUR_HALF), precision=_prec())
+    sb2 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[2], cube, _BLUR_HALF), precision=_prec())
+    Wv = apply_axis_matrix(Wv, toeplitz_blur_matrix(sig[0], cube, _BLUR_HALF), 0)
+    Wv = apply_axis_matrix(apply_axis_matrix(Wv, sb1, 1), sb2, 2)
     Wm = apply_axis_matrix(apply_axis_matrix(Wm, scale_m, 1), scale_m, 2)
 
     vv_row = (lanes - c_ss)[None, :, None]
     vv_col = (lanes - c_ss)[None, None, :]
     nidx = jnp.arange(ns_grid, dtype=jnp.float32)
     base_z = z0 + nidx[:, None, None] * gap_vox
-    dz, dv, du = _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col)
-    z_coefs = (0.0, 0.0, gap_vox, z0)
+    _, dv, du = _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col)
+    # dz kept in per-slice affine-coefficient form (see _extract_pair)
+    dz = {
+        "coef": jnp.stack(
+            [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap_vox)], -1
+        ),
+        "vn": (lanes - c_ss) * rs,
+        "un": (lanes - c_ss) * rs,
+    }
 
-    slices, mslices = _extract_pair(Wv, Wm, z_coefs, dz, dv, du, cube, ns_grid)
+    slices, mslices = _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid)
 
     # validity from the PSF-free mask-slice mass (simulate_reco.py:408-420)
     arange_n = jnp.arange(ns_grid)
@@ -432,47 +487,52 @@ def _recon_one(
     base_z = z0 + nidx[:, None, None] * gap_vox
     dz_r, dv_r, du_r = _slice_fields(Grec, rs, c_ss, base_z, vv_row, vv_col)
 
-    # first-order inverse deviations, resampled from slice index onto stack z
-    n_of_z = (lanes - z0) / gap_vox
-    Mn2z = interp_matrix(n_of_z, ns_grid)  # (cube, ns_grid)
-    dzi = apply_axis_matrix(-dz_r / gap_vox, Mn2z, 0)
-    dvi = apply_axis_matrix(-dv_r, Mn2z, 0)
-    dui = apply_axis_matrix(-du_r, Mn2z, 0)
-    n_coefs = (0.0, 0.0, 1.0 / gap_vox, -z0 / gap_vox)
+    from ...ops.linops import _prec
 
     inv_scale_m = interp_matrix((lanes - c_ss) / rs + c_ss, cube)
     sigz_m = toeplitz_blur_matrix(sig_rec[0], cube, _BLUR_HALF)
-    sigxy_m = toeplitz_blur_matrix(sig_rec[1], cube, _BLUR_HALF)
+    # in-plane recon blur composes with the inverse scale: one matmul/axis
+    inv_scale_blur_m = jnp.matmul(
+        inv_scale_m, toeplitz_blur_matrix(sig_rec[1], cube, _BLUR_HALF),
+        precision=_prec(),
+    )
 
     masked = slices * keep_f[:, None, None]
     wslices = jnp.broadcast_to(keep_f[:, None, None], slices.shape).astype(jnp.float32)
 
-    # inverse motion passes (value, weight share every window)
-    x, w = jnp.transpose(masked, (1, 2, 0)), jnp.transpose(wslices, (1, 2, 0))
+    # First-order inverse motion, applied IN SLICE SPACE (mirrors the
+    # forward chain in reverse: du, dv in-plane passes on the (NS, SS, SS)
+    # stacks — 3x less data than the recon cube — then the slice-index
+    # deviation pass, then the affine n->z placement as an MXU interp
+    # matmul). The per-slice deviations are used DIRECTLY (no resampling of
+    # the non-smooth interleaved motion states across slice indices); the
+    # z placement's lane slope 1/gap_vox lives entirely in the matmul, so
+    # every hat pass is slope-1 (see _extract_pair on why that matters).
     x, w = hat_pass_pair(
-        x, w, n_coefs, jnp.transpose(dzi, (1, 2, 0)), (cube, cube, ns_grid), 48,
-        out_len=cube, modes=(False, False),
+        masked, wslices, (0.0, 0.0, 1.0, 0.0), -du_r, (ns_grid, cube, cube),
+        48, modes=(False, False), unit_slope=True,
     )
-    x, w = jnp.transpose(x, (2, 0, 1)), jnp.transpose(w, (2, 0, 1))  # (z, v, u)
-    x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))
+    x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))  # (n, u, v)
     x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dvi, (0, 2, 1)),
-        (cube, cube, cube), 48, modes=(False, False), unit_slope=True,
+        x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dv_r, (0, 2, 1)),
+        (ns_grid, cube, cube), 48, modes=(False, False), unit_slope=True,
     )
-    x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))
+    x, w = jnp.transpose(x, (1, 2, 0)), jnp.transpose(w, (1, 2, 0))  # (u, v, n)
     x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), dui, (cube, cube, cube), 48,
-        modes=(False, False), unit_slope=True,
+        x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dz_r / gap_vox, (2, 1, 0)),
+        (cube, cube, ns_grid), 48, modes=(False, False), unit_slope=True,
     )
+    Mn2z = interp_matrix((lanes - z0) / gap_vox, ns_grid)  # (cube, ns_grid)
+    x = apply_axis_matrix(x, Mn2z, 2)  # (u, v, z)
+    w = apply_axis_matrix(w, Mn2z, 2)
+    x, w = jnp.transpose(x, (2, 1, 0)), jnp.transpose(w, (2, 1, 0))  # (z, v, u)
 
     def spread(y):
-        # recon PSF (simulate_reco.py:338-344): z thickness + in-plane sinc
+        # recon PSF (simulate_reco.py:338-344): z thickness + in-plane sinc,
+        # the latter fused with the inverse xy scale (3 contractions, not 5)
         y = apply_axis_matrix(y, sigz_m, 0)
-        y = apply_axis_matrix(y, sigxy_m, 1)
-        y = apply_axis_matrix(y, sigxy_m, 2)
-        # inverse xy scale back to recon-voxel spacing
-        y = apply_axis_matrix(y, inv_scale_m, 1)
-        y = apply_axis_matrix(y, inv_scale_m, 2)
+        y = apply_axis_matrix(y, inv_scale_blur_m, 1)
+        y = apply_axis_matrix(y, inv_scale_blur_m, 2)
         return y
 
     x, w = spread(x), spread(w)

@@ -23,11 +23,42 @@ Semantics match the reference kernels exactly:
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _PREC = lax.Precision.HIGHEST
+_PREC_OVERRIDE: lax.Precision | None = None
+
+
+@contextlib.contextmanager
+def precision_scope(prec: lax.Precision):
+    """TRACE-time matmul precision override for a code region.
+
+    The framework's numerical contract is f32 (``Precision.HIGHEST``, the
+    6-pass bf16 expansion on TPU) — golden tests and the replay-faithful
+    host artifact path depend on it. The batched artifact STREAM opts into
+    ``Precision.DEFAULT`` (single-pass bf16, ~6x MXU throughput) inside this
+    scope: its outputs are synthetic degradations that immediately receive
+    Rician noise/gamma/voids, so sub-percent matmul error is invisible,
+    and the stream is documented as non-replay-exact anyway
+    (``generator/artifacts/batched.py``). The scope only affects operations
+    TRACED while it is active; independently-jitted host-path programs are
+    untouched.
+    """
+    global _PREC_OVERRIDE
+    old = _PREC_OVERRIDE
+    _PREC_OVERRIDE = prec
+    try:
+        yield
+    finally:
+        _PREC_OVERRIDE = old
+
+
+def _prec() -> lax.Precision:
+    return _PREC if _PREC_OVERRIDE is None else _PREC_OVERRIDE
 
 
 def toeplitz_blur_matrix(sigma: jnp.ndarray, size: int, half_len: int) -> jnp.ndarray:
@@ -97,7 +128,7 @@ def apply_axis_matrix(vol: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarra
         {0: "oi,ijk->ojk", 1: "oi,jik->jok", 2: "oi,jki->jko"}[axis],
         M,
         vol,
-        precision=_PREC,
+        precision=_prec(),
     )
 
 

@@ -607,7 +607,9 @@ def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None):
     # raw row index: fold into the centered builder via bias' = bias + amount*c
     c_fix = (J - 1) / 2.0
     Ms = _shear_matrices(J, OK, S, amount, bias + amount * c_fix, c_fix, modes, slope=slope)
-    prec = jax.lax.Precision.HIGHEST
+    from .linops import _prec
+
+    prec = _prec()
     oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
     ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
     return oa, ob
@@ -627,7 +629,9 @@ def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
     xb = jnp.transpose(vb, perm)
     J, K = xa.shape[1], xa.shape[2]
     Ms = _shear_matrices(J, K, K, amount, bias, (shape[axis_fix] - 1) / 2.0, modes)
-    prec = jax.lax.Precision.HIGHEST
+    from .linops import _prec
+
+    prec = _prec()
     oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
     ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
     return jnp.transpose(oa, inv), jnp.transpose(ob, inv)

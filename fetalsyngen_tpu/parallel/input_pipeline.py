@@ -175,17 +175,25 @@ def _make_batch_fn(cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int)
         outs, segs_o = jax.vmap(synth_one)(keys, subj, u)
 
         if has_quality or has_motion:
+            from ..ops.linops import precision_scope
+
             def art_one(args):
                 key, o, sg, row = args
                 ka = jax.random.fold_in(key, 77)
-                if has_quality:
-                    o = apply_pre_motion(ka, o, sg, qa)
-                if has_motion:
-                    o = motion_t(
-                        jax.random.fold_in(ka, 303), o, sg, row, sm, shape, cube, ns_grid
-                    )
-                if has_quality:
-                    o = apply_post_motion(ka, o, sg, qa)
+                # stream-only bf16 matmuls (single-pass MXU): the artifact
+                # chain's outputs receive Rician noise/gamma/voids anyway
+                # and the stream is documented non-replay-exact — see
+                # linops.precision_scope. ~6x on the scanner's shear/blur/
+                # scale contractions, which dominate the motion engine.
+                with precision_scope(jax.lax.Precision.DEFAULT):
+                    if has_quality:
+                        o = apply_pre_motion(ka, o, sg, qa)
+                    if has_motion:
+                        o = motion_t(
+                            jax.random.fold_in(ka, 303), o, sg, row, sm, shape, cube, ns_grid
+                        )
+                    if has_quality:
+                        o = apply_post_motion(ka, o, sg, qa)
                 return o
 
             outs = jax.lax.map(art_one, (keys, outs, segs_o, pack))

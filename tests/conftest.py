@@ -24,6 +24,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# same freeze applies to the cache env vars — set the config explicitly so
+# recompiles actually persist across test runs
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
 assert len(jax.devices()) >= 8, "virtual 8-device CPU mesh not active"

@@ -111,3 +111,90 @@ def test_hat_pass_nearest_large_shear():
     # near-total agreement and no systematic offset
     agree = np.mean(np.asarray(out) == np.asarray(ref))
     assert agree > 0.999, agree
+
+
+@pytest.mark.slow
+def test_scanner_engine_kernel_matches_fallback_at_production_slopes():
+    """END-TO-END kernel-path A/B of the scanner engine vs the jnp fallback
+    at a production-scale gap (gap_vox = 4, i.e. z-extraction lane slope 4).
+
+    Round-3 regression guard: the original one-step z extraction pushed lane
+    slope ``gap_vox`` through the hat kernel, whose windowed taps only cover
+    a ~48-voxel within-block position spread — (slope-1)*127 ~ 380 voxels
+    overflowed and CLAMPED silently, corrupting every TPU-path scan while
+    the CPU suite (jnp fallback) stayed green. The engine now factors the z
+    passes into unit-slope hats + interp matmuls (scanner._extract_pair);
+    this test runs the full acquire+recon on BOTH the interpreter-mode
+    kernel path and the jnp fallback and requires voxel equality.
+    """
+    import fetalsyngen_tpu.generator.artifacts.scanner as sc
+    from fetalsyngen_tpu.generator.artifacts.motion import sample_motion
+    from fetalsyngen_tpu.generator.artifacts.transforms import (
+        random_init_stack_transforms,
+    )
+    from scipy.ndimage import gaussian_filter
+
+    CUBE, NSG = 128, 32  # cube % 128 == 0 so _v1_ok takes the kernel path
+    rng = np.random.default_rng(11)
+    shape = (96, 96, 96)
+    base = np.zeros(shape, np.float32)
+    base[20:76, 24:72, 22:74] = 100.0
+    vol = gaussian_filter(
+        base + rng.normal(0, 5, shape).astype(np.float32) * (base > 0), 1.0
+    ).astype(np.float32)
+    mask = (vol > 5).astype(np.float32)
+
+    res, res_s, thick, gap = 0.5, 0.7, 2.0, 2.0
+    rs, gap_vox = res_s / res, gap / res  # slope 4: far past the tap window
+    ns = min(int(max(shape) * res / gap) + 2, NSG)
+    t_init = random_init_stack_transforms(ns, gap, False, 3.0, rng)
+    t_target = sample_motion(np.arange(ns) * 1.0, rng).compose(t_init)
+    mats_vox = t_target.matrix(True).copy()
+    mats_vox[:, :, 3] /= res
+    geo = sc._stack_geometry(
+        t_init.matrix(True)[0, :, :3], mats_vox, shape, ns, CUBE, NSG
+    )
+    z0 = float((CUBE - 1) / 2.0 - (ns - 1) / 2.0 * gap_vox)
+    sig = jnp.asarray(
+        [sc.GAUSSIAN_FWHM * thick / res, sc.SINC_FWHM * rs, sc.SINC_FWHM * rs],
+        jnp.float32,
+    )
+    sig_rec = jnp.asarray(
+        [sc.GAUSSIAN_FWHM * thick / res, sc.SINC_FWHM * rs], jnp.float32
+    )
+    q_idx, w_ang, w_scl, w_dlt = geo["fwd"]
+    i_q, i_ang, i_scl, i_dlt = sc.decompose_affine_paeth_host(
+        geo["Minv"], -geo["Minv"] @ geo["t_stack"], CUBE
+    )
+
+    def run():
+        slices, valid = sc._acquire_stack(
+            jnp.asarray(vol), jnp.asarray(mask),
+            jnp.int32(q_idx), jnp.asarray(w_ang), jnp.float32(w_scl),
+            jnp.asarray(w_dlt), jnp.asarray(geo["G"]), jnp.float32(rs),
+            jnp.float32(gap_vox), jnp.float32(z0), sig, jnp.float32(0.15),
+            jnp.int32(ns), jax.random.PRNGKey(0), jnp.float32(1.0),
+            jnp.asarray(False), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.1), cube=CUBE, ns_grid=NSG,
+        )
+        v_s, w_s = sc._recon_stack(
+            slices, valid, jnp.asarray(geo["G"]), jnp.float32(rs),
+            jnp.float32(gap_vox), jnp.float32(z0), sig_rec,
+            jnp.int32(i_q), jnp.asarray(i_ang), jnp.float32(i_scl),
+            jnp.asarray(i_dlt), cube=CUBE, ns_grid=NSG, out_shape=shape,
+        )
+        return np.asarray(slices), np.asarray(valid), np.asarray(v_s), np.asarray(w_s)
+
+    W._INTERPRET = False
+    jax.clear_caches()  # drop any interpret-mode traces of the same shapes
+    ref = run()
+    assert ref[1].sum() >= 10  # enough valid slices to be a meaningful A/B
+    W._INTERPRET = True
+    jax.clear_caches()  # drop the fallback traces so the kernel path retraces
+    got = run()
+    for r, g, name in [
+        (ref[0], got[0], "slices"), (ref[1], got[1], "valid"),
+        (ref[2], got[2], "recon value"), (ref[3], got[3], "recon weight"),
+    ]:
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(g, r, atol=2e-4 * scale, err_msg=name)
