@@ -235,3 +235,71 @@ class TestScannerOnTPU:
         assert c > 0.9, c
         o2, _ = sm(out, seg.astype(np.int32), genparams=meta, resolution=(0.5, 0.5, 0.5))
         np.testing.assert_allclose(np.asarray(o2), o, rtol=1e-5, atol=1e-5)
+
+
+class TestScannerKernelGolden:
+    """Compiled-Mosaic scanner engine vs CPU-path pinned probes.
+
+    The interpreter-mode A/B (tests/test_kernel_parity.py) validates kernel
+    LOGIC, but round 2 showed Mosaic lowering can diverge from both
+    (hat-kernel n0 clamp bug appeared on the compiled path only). This pins
+    the full acquire+recon at cube 128 / production gap_vox 4 against probe
+    voxels computed by the CPU jnp-fallback path (tests/conftest.py
+    platform), regenerable with the same seed via
+    ``fetalsyngen_tpu.testing.scanner_ab_case``.
+    """
+
+    # CPU jnp-fallback path, seed 11 geometry (2026-08-17, post z-pass
+    # factorization). Regenerate by running scanner_ab_case/run_scanner_ab
+    # under JAX_PLATFORMS=cpu.
+    SLICE_PROBES = [
+        ((7, 40, 30), 0.0),
+        ((10, 47, 41), 1.8380397e-13),
+        ((13, 54, 52), 100.143555),
+        ((16, 61, 63), 100.04112),
+        ((19, 68, 74), 14.460511),
+    ]
+    RECON_PROBES = [
+        ((30, 28, 25), 88.1272, 1.0000001),
+        ((35, 35, 34), 99.96826, 1.0000001),
+        ((40, 42, 43), 100.001686, 1.0000002),
+        ((45, 49, 52), 99.86333, 1.0000001),
+        ((50, 56, 61), 99.95102, 1.0000001),
+        ((55, 63, 70), 92.36668, 1.0000001),
+        ((60, 70, 79), 0.90641266, 1.0000001),
+    ]
+    VALID_SUM = 16.0
+    SLICE_MEAN = 6.379234790802002
+    V_MEAN = 15.482776641845703
+    W_MEAN = 0.7433692812919617
+
+    def test_acquire_recon_pinned_vs_cpu_path(self):
+        from fetalsyngen_tpu.testing import run_scanner_ab, scanner_ab_case
+
+        case = scanner_ab_case(cube=128, ns_grid=32)
+        slices, valid, v_s, w_s = run_scanner_ab(case, cube=128, ns_grid=32)
+        assert valid.sum() == self.VALID_SUM
+        np.testing.assert_allclose(
+            slices[valid > 0].mean(), self.SLICE_MEAN, rtol=1e-4
+        )
+        np.testing.assert_allclose(v_s.mean(), self.V_MEAN, rtol=1e-4)
+        np.testing.assert_allclose(w_s.mean(), self.W_MEAN, rtol=1e-4)
+        # probe atol is SCALE-aware (~1.5e-3 of the ~100-intensity signal):
+        # steep-edge probes amplify sub-ulp coordinate rounding differences
+        # between Mosaic and the CPU path into ~5e-4-of-scale value shifts,
+        # while the bug class this guards against (window-bound clamps) is
+        # O(full-scale) corruption.
+        for (n, a, b), want in self.SLICE_PROBES:
+            np.testing.assert_allclose(
+                slices[n, a, b], want, rtol=2e-3, atol=0.15,
+                err_msg=f"slice probe {(n, a, b)}",
+            )
+        for (a, b, c), wv, ww in self.RECON_PROBES:
+            np.testing.assert_allclose(
+                v_s[a, b, c], wv, rtol=2e-3, atol=0.15,
+                err_msg=f"recon value probe {(a, b, c)}",
+            )
+            np.testing.assert_allclose(
+                w_s[a, b, c], ww, rtol=2e-3, atol=2e-2,
+                err_msg=f"recon weight probe {(a, b, c)}",
+            )
