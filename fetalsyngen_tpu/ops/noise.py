@@ -15,75 +15,72 @@ Reference parity with ``fetalsyngen/generator/artifacts/utils.py``:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _fade(t):
-    return t * t * t * (t * (t * 6 - 15) + 10)
+@lru_cache(maxsize=64)
+def _perlin_axis_mats(s: int, r: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-axis fade-interpolation operators for the separable Perlin form.
 
+    The classic 8-corner trilinear fade blend factorizes per gradient
+    component: with per-axis corner weights ``w0 = 1-fade(d)``, ``w1 =
+    fade(d)`` and offsets ``(d-a)``, the x-gradient term is
 
-def _repeat_cells(g: jnp.ndarray, reps: tuple[int, int, int]) -> jnp.ndarray:
-    """Nearest-upsample a (r, r, r) lattice to (r*c0, r*c1, r*c2) via broadcast."""
-    r0, r1, r2 = g.shape
-    out = jnp.broadcast_to(
-        g[:, None, :, None, :, None], (r0, reps[0], r1, reps[1], r2, reps[2])
-    )
-    return out.reshape(r0 * reps[0], r1 * reps[1], r2 * reps[2])
+        sum_{a,b,c} [w_a(d0)*(d0-a)] * w_b(d1) * w_c(d2) * gx[(i0+a)%r, ...]
+
+    i.e. a rank-1 chain of three (s, r) matrices applied to the (r, r, r)
+    lattice — small MXU matmuls instead of materializing 8 corners x 3
+    gradient volumes. ``A`` carries the plain fade weights, ``Ad`` the
+    fade-weighted displacement ``w_a(d)*(d-a)``. The ``% r`` wrap reproduces
+    the reference's tileable ``gradients[-1] = gradients[0]`` identification.
+    """
+    c = s // r
+    i = np.arange(s)
+    i0 = i // c
+    d = (i % c) / c
+    t = d * d * d * (d * (d * 6 - 15) + 10)
+    A = np.zeros((s, r), np.float32)
+    Ad = np.zeros((s, r), np.float32)
+    np.add.at(A, (i, i0), 1 - t)
+    np.add.at(A, (i, (i0 + 1) % r), t)
+    np.add.at(Ad, (i, i0), (1 - t) * d)
+    np.add.at(Ad, (i, (i0 + 1) % r), t * (d - 1))
+    return A, Ad
 
 
 @partial(jax.jit, static_argnames=("shape", "res"))
 def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int, int, int]):
     """Tileable 3D Perlin noise (reference ``utils.py:224-327`` semantics).
 
-    ``shape`` must be divisible by ``res``.
+    ``shape`` must be divisible by ``res``. Evaluated in the separable
+    matmul form (see :func:`_perlin_axis_mats`): three small per-axis
+    operators upsample each gradient-component lattice, so the whole field
+    costs ~4 full-volume writes instead of the naive 8-corner blend's ~30.
     """
-    cells = tuple(s // r for s, r in zip(shape, res))
+    from .linops import _prec
+
     k1, k2 = jax.random.split(key)
     theta = 2 * jnp.pi * jax.random.uniform(k1, (res[0], res[1], res[2]))
     phi = 2 * jnp.pi * jax.random.uniform(k2, (res[0], res[1], res[2]))
-    # tileable: the lattice wraps (index modulo res), matching the reference's
-    # gradients[-1] = gradients[0] identification.
     gx = jnp.sin(phi) * jnp.cos(theta)
     gy = jnp.sin(phi) * jnp.sin(theta)
     gz = jnp.cos(phi)
 
-    # local coordinates within each cell in lattice units
-    loc = [
-        (jnp.arange(shape[d], dtype=jnp.float32) % cells[d]) / cells[d] for d in range(3)
-    ]
-    t0 = _fade(loc[0])[:, None, None]
-    t1 = _fade(loc[1])[None, :, None]
-    t2 = _fade(loc[2])[None, None, :]
-    d0 = loc[0][:, None, None]
-    d1 = loc[1][None, :, None]
-    d2 = loc[2][None, None, :]
+    mats = [_perlin_axis_mats(shape[d], res[d]) for d in range(3)]
 
-    def corner(a, b, c):
-        def grad(g):
-            rolled = jnp.roll(g, (-a, -b, -c), axis=(0, 1, 2))
-            return _repeat_cells(rolled, cells)
+    def up(g, M0, M1, M2):
+        t = jnp.einsum("Ia,abc->Ibc", jnp.asarray(M0), g, precision=_prec())
+        t = jnp.einsum("Jb,Ibc->IJc", jnp.asarray(M1), t, precision=_prec())
+        return jnp.einsum("Kc,IJc->IJK", jnp.asarray(M2), t, precision=_prec())
 
-        return grad(gx) * (d0 - a) + grad(gy) * (d1 - b) + grad(gz) * (d2 - c)
-
-    n000 = corner(0, 0, 0)
-    n100 = corner(1, 0, 0)
-    n010 = corner(0, 1, 0)
-    n110 = corner(1, 1, 0)
-    n001 = corner(0, 0, 1)
-    n101 = corner(1, 0, 1)
-    n011 = corner(0, 1, 1)
-    n111 = corner(1, 1, 1)
-
-    n00 = n000 * (1 - t0) + t0 * n100
-    n10 = n010 * (1 - t0) + t0 * n110
-    n01 = n001 * (1 - t0) + t0 * n101
-    n11 = n011 * (1 - t0) + t0 * n111
-    n0 = n00 * (1 - t1) + t1 * n10
-    n1 = n01 * (1 - t1) + t1 * n11
-    return n0 * (1 - t2) + t2 * n1
+    (A0, A0d), (A1, A1d), (A2, A2d) = mats
+    return (
+        up(gx, A0d, A1, A2) + up(gy, A0, A1d, A2) + up(gz, A0, A1, A2d)
+    )
 
 
 @partial(jax.jit, static_argnames=("shape", "res", "lacunarity", "max_octaves"))

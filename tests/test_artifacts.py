@@ -115,6 +115,50 @@ class TestNoise:
         )
         assert n.min() >= 0 and n.max() <= 1 and n.max() > 0.9
 
+    @pytest.mark.parametrize(
+        "shape,res", [((32, 32, 32), (2, 2, 2)), ((64, 32, 16), (4, 2, 1))]
+    )
+    def test_perlin_matches_corner_blend_spec(self, shape, res):
+        """The separable-matmul Perlin == the naive 8-corner fade blend.
+
+        Spec below is the textbook corner form (reference ``utils.py:224-327``
+        semantics: wrapped lattice, fade weights, gradient dot products); the
+        production path evaluates the algebraically-factored per-axis matmul
+        chain (``ops/noise._perlin_axis_mats``)."""
+
+        def fade(t):
+            return t * t * t * (t * (t * 6 - 15) + 10)
+
+        cells = tuple(s // r for s, r in zip(shape, res))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+        theta = 2 * np.pi * np.asarray(jax.random.uniform(k1, res))
+        phi = 2 * np.pi * np.asarray(jax.random.uniform(k2, res))
+        g = np.stack(
+            [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)]
+        )
+        loc = [(np.arange(shape[d]) % cells[d]) / cells[d] for d in range(3)]
+        d0, d1, d2 = np.ix_(loc[0], loc[1], loc[2])
+        t0, t1, t2 = fade(d0), fade(d1), fade(d2)
+        i0 = [np.arange(shape[d]) // cells[d] for d in range(3)]
+
+        def corner(a, b, c):
+            gi = [
+                gc[np.ix_((i0[0] + a) % res[0], (i0[1] + b) % res[1], (i0[2] + c) % res[2])]
+                for gc in g
+            ]
+            return gi[0] * (d0 - a) + gi[1] * (d1 - b) + gi[2] * (d2 - c)
+
+        n = 0.0
+        for a in (0, 1):
+            wa = (1 - t0) if a == 0 else t0
+            for b in (0, 1):
+                wb = (1 - t1) if b == 0 else t1
+                for c in (0, 1):
+                    wc = (1 - t2) if c == 0 else t2
+                    n = n + wa * wb * wc * corner(a, b, c)
+        got = np.asarray(perlin_noise_3d(jax.random.PRNGKey(17), shape, res))
+        np.testing.assert_allclose(got, n, atol=2e-5)
+
     def test_mog_matches_manual(self):
         centers = jnp.asarray([[8.0, 8.0, 8.0], [2.0, 12.0, 4.0]])
         sigmas = jnp.asarray([[3.0, 3.0, 3.0], [2.0, 2.0, 2.0]])
