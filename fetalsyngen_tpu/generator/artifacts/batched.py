@@ -112,10 +112,13 @@ def _dilate1(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _weighted_centers(key, w_flat, shape, nmax):
-    """Weighted sampling without replacement: keys ~ log(U)/w top-k."""
+    """Weighted sampling without replacement: keys ~ log(U)/w top-k
+    (blocked two-stage form, see :func:`quality.topk_flat`)."""
+    from .quality import topk_flat
+
     u = jax.random.uniform(key, w_flat.shape, minval=1e-7)
     scores = jnp.where(w_flat > 0, jnp.log(u) / jnp.maximum(w_flat, 1e-8), -jnp.inf)
-    _, idx = lax.top_k(scores, nmax)
+    _, idx = topk_flat(scores, nmax)
     finite = jnp.isfinite(jnp.take(scores, idx))
     i = idx // (shape[1] * shape[2])
     rem = idx % (shape[1] * shape[2])

@@ -92,6 +92,7 @@ from ...ops.morphology import box_sum
 from ...ops.noise import fractal_noise_3d, mog_3d
 from ...ops.warp import (
     decompose_affine_paeth_host,
+    hat_pass,
     hat_pass_pair,
     warp_rigid_pair_traced,
 )
@@ -343,15 +344,12 @@ def _acquire_one(
     Returns (slices (NS, SS, SS), valid (NS,) f32). Mirrors the reference
     stack-loop body (``simulate_reco.py:366-424``).
     """
-    Wv, Wm = warp_rigid_pair_traced(
-        vol_p, mask_p, q_idx, angles, wscale, wdelta, modes=(False, False)
-    )
-
     # acquisition PSF blur (volume only; mask slices are PSF-free,
-    # simulate_reco.py:399-407) + xy scale to slice-pixel spacing. The
-    # in-plane blur and scale operators COMPOSE into one matmul per axis
-    # (scale_m @ blur_m is a (cube, cube) matmul, ~1e-4 of the volume
-    # contraction cost) — 3 volume contractions instead of 5.
+    # simulate_reco.py:399-407) + xy scale to slice-pixel spacing. Blur and
+    # scale are separable per-axis operators IN THE STACK FRAME — exactly
+    # the frame the rigid warp's final zoom matmuls emit — so they compose
+    # into the warp's three volume contractions (small matrix products; see
+    # warp_rigid_pair_traced post_a/post_b) instead of paying 5 more.
     from ...ops.linops import _prec
 
     c_ss = (cube - 1) / 2.0
@@ -359,9 +357,11 @@ def _acquire_one(
     scale_m = interp_matrix((lanes - c_ss) * rs + c_ss, cube)
     sb1 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[1], cube, _BLUR_HALF), precision=_prec())
     sb2 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[2], cube, _BLUR_HALF), precision=_prec())
-    Wv = apply_axis_matrix(Wv, toeplitz_blur_matrix(sig[0], cube, _BLUR_HALF), 0)
-    Wv = apply_axis_matrix(apply_axis_matrix(Wv, sb1, 1), sb2, 2)
-    Wm = apply_axis_matrix(apply_axis_matrix(Wm, scale_m, 1), scale_m, 2)
+    Wv, Wm = warp_rigid_pair_traced(
+        vol_p, mask_p, q_idx, angles, wscale, wdelta, modes=(False, False),
+        post_a=(toeplitz_blur_matrix(sig[0], cube, _BLUR_HALF), sb1, sb2),
+        post_b=(None, scale_m, scale_m),
+    )
 
     vv_row = (lanes - c_ss)[None, :, None]
     vv_col = (lanes - c_ss)[None, None, :]
@@ -498,7 +498,6 @@ def _recon_one(
     )
 
     masked = slices * keep_f[:, None, None]
-    wslices = jnp.broadcast_to(keep_f[:, None, None], slices.shape).astype(jnp.float32)
 
     # First-order inverse motion, applied IN SLICE SPACE (mirrors the
     # forward chain in reverse: du, dv in-plane passes on the (NS, SS, SS)
@@ -508,29 +507,40 @@ def _recon_one(
     # the non-smooth interleaved motion states across slice indices); the
     # z placement's lane slope 1/gap_vox lives entirely in the matmul, so
     # every hat pass is slope-1 (see _extract_pair on why that matters).
-    x, w = hat_pass_pair(
-        masked, wslices, (0.0, 0.0, 1.0, 0.0), -du_r, (ns_grid, cube, cube),
-        48, modes=(False, False), unit_slope=True,
+    #
+    # The WEIGHT field skips the in-plane passes exactly: it is constant per
+    # slice (a broadcast of keep_f), and an edge-clamped hat pass maps a
+    # constant row to itself — w only starts changing at the slice-index
+    # deviation pass, where adjacent slices' weights mix.
+    x = hat_pass(
+        masked, (0.0, 0.0, 1.0, 0.0), -du_r, (ns_grid, cube, cube),
+        48, False, unit_slope=True,
     )
-    x, w = jnp.transpose(x, (0, 2, 1)), jnp.transpose(w, (0, 2, 1))  # (n, u, v)
-    x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dv_r, (0, 2, 1)),
-        (ns_grid, cube, cube), 48, modes=(False, False), unit_slope=True,
+    x = jnp.transpose(x, (0, 2, 1))  # (n, u, v)
+    x = hat_pass(
+        x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dv_r, (0, 2, 1)),
+        (ns_grid, cube, cube), 48, False, unit_slope=True,
     )
-    x, w = jnp.transpose(x, (1, 2, 0)), jnp.transpose(w, (1, 2, 0))  # (u, v, n)
+    x = jnp.transpose(x, (1, 2, 0))  # (u, v, n)
+    w = jnp.broadcast_to(
+        keep_f[None, None, :], (cube, cube, ns_grid)
+    ).astype(jnp.float32)
     x, w = hat_pass_pair(
         x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dz_r / gap_vox, (2, 1, 0)),
         (cube, cube, ns_grid), 48, modes=(False, False), unit_slope=True,
     )
-    Mn2z = interp_matrix((lanes - z0) / gap_vox, ns_grid)  # (cube, ns_grid)
+    # n->z placement and the z-thickness recon PSF act on the same axis in
+    # the same frame — one composed (cube, ns_grid) matmul for both.
+    Mn2z = jnp.matmul(
+        sigz_m, interp_matrix((lanes - z0) / gap_vox, ns_grid), precision=_prec()
+    )
     x = apply_axis_matrix(x, Mn2z, 2)  # (u, v, z)
     w = apply_axis_matrix(w, Mn2z, 2)
     x, w = jnp.transpose(x, (2, 1, 0)), jnp.transpose(w, (2, 1, 0))  # (z, v, u)
 
     def spread(y):
-        # recon PSF (simulate_reco.py:338-344): z thickness + in-plane sinc,
-        # the latter fused with the inverse xy scale (3 contractions, not 5)
-        y = apply_axis_matrix(y, sigz_m, 0)
+        # in-plane recon PSF (simulate_reco.py:338-344): sinc fused with the
+        # inverse xy scale (2 contractions; the z part rode Mn2z above)
         y = apply_axis_matrix(y, inv_scale_blur_m, 1)
         y = apply_axis_matrix(y, inv_scale_blur_m, 2)
         return y

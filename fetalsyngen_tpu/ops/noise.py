@@ -146,9 +146,11 @@ def mog_3d(
         g = jnp.arange(shape[axis], dtype=jnp.float32)[None, :]
         return jnp.exp(-0.5 * ((g - centers[:, axis : axis + 1]) / sigmas[:, axis : axis + 1]) ** 2)
 
+    from .linops import _prec
+
     fx = axis_factor(0) * valid[:, None]  # (N, D)
     fy = axis_factor(1)  # (N, H)
     fz = axis_factor(2)  # (N, W)
     t = fx[:, :, None] * fy[:, None, :]  # (N, D, H)
-    acc = jnp.einsum("ndh,nw->dhw", t, fz, precision=jax.lax.Precision.HIGHEST)
+    acc = jnp.einsum("ndh,nw->dhw", t, fz, precision=_prec())
     return jnp.clip(acc, 0.0, 1.0)

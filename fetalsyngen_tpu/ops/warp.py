@@ -649,7 +649,8 @@ def _interp_or_nearest_matrix(coords, in_size, nearest):
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "modes"))
 def warp_rigid_pair_traced(
-    va, vb, q_idx, angles, scale, delta, out_shape=None, modes=(False, False)
+    va, vb, q_idx, angles, scale, delta, out_shape=None, modes=(False, False),
+    post_a=None, post_b=None,
 ):
     """``out[q] = V[A q + t]`` for two CUBE volumes with a fully TRACED
     rotation-times-isotropic-scale map (from
@@ -660,8 +661,15 @@ def warp_rigid_pair_traced(
     (quarter alignment bounds every residual Euler angle well below 90 deg,
     so one trio per axis suffices) -> final separable zoom/shift matmuls
     (MXU).
+
+    ``post_a``/``post_b``: optional per-axis operator matrices (each
+    (out_dim, out_dim) or None) applied to the corresponding operand IN THE
+    OUTPUT FRAME. They compose with the zoom matmuls (``P @ M`` is a small
+    matrix product), so a caller's separable post-ops (e.g. the scanner's
+    acquisition PSF blur + in-plane scale) ride the same three volume
+    contractions instead of paying their own.
     """
-    from .linops import apply_axis_matrix
+    from .linops import _prec, apply_axis_matrix
 
     cube = va.shape[0]
     out_shape = tuple(out_shape) if out_shape is not None else va.shape
@@ -676,6 +684,10 @@ def warp_rigid_pair_traced(
         coords = scale * jnp.arange(out_shape[axis], dtype=jnp.float32) + delta[axis]
         Ma = _interp_or_nearest_matrix(coords, cube, modes[0])
         Mb = Ma if modes[1] == modes[0] else _interp_or_nearest_matrix(coords, cube, modes[1])
+        if post_a is not None and post_a[axis] is not None:
+            Ma = jnp.matmul(post_a[axis], Ma, precision=_prec())
+        if post_b is not None and post_b[axis] is not None:
+            Mb = jnp.matmul(post_b[axis], Mb, precision=_prec())
         a = apply_axis_matrix(a, Ma, axis)
         b = apply_axis_matrix(b, Mb, axis)
     return a, b

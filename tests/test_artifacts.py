@@ -159,6 +159,24 @@ class TestNoise:
         got = np.asarray(perlin_noise_3d(jax.random.PRNGKey(17), shape, res))
         np.testing.assert_allclose(got, n, atol=2e-5)
 
+    def test_topk_flat_matches_exact(self):
+        """Blocked two-stage top-k == exact lax.top_k on a realistic
+        cortex-shell mask (foreground spans many flat blocks)."""
+        from fetalsyngen_tpu.generator.artifacts.quality import topk_flat
+
+        n = 128 * 128 * 128  # > 4096 * 256 -> blocked path
+        rng = np.random.default_rng(0)
+        # shell-like sparse foreground across the volume's middle band
+        fg = np.zeros(n, bool)
+        fg[rng.choice(n // 2, 60_000, replace=False) + n // 4] = True
+        scores = jnp.where(
+            jnp.asarray(fg), jax.random.uniform(jax.random.PRNGKey(3), (n,)), -jnp.inf
+        )
+        v_e, i_e = jax.lax.top_k(scores, 200)
+        v_b, i_b = topk_flat(scores, 200)
+        np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_b))
+        np.testing.assert_array_equal(np.asarray(v_e), np.asarray(v_b))
+
     def test_mog_matches_manual(self):
         centers = jnp.asarray([[8.0, 8.0, 8.0], [2.0, 12.0, 4.0]])
         sigmas = jnp.asarray([[3.0, 3.0, 3.0], [2.0, 2.0, 2.0]])
