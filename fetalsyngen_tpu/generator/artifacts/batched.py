@@ -43,6 +43,7 @@ from jax import lax
 from ...ops.linops import gaussian_blur_mm
 from ...ops.morphology import box_sum
 from ...ops.noise import fractal_noise_3d, mog_3d
+from ...ops.rand import beta_int, gamma_fast, poisson_icdf
 from .quality import (
     BlurCortex,
     SimulatedBoundaries,
@@ -136,11 +137,9 @@ def blur_cortex_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, bc: BlurCo
     def apply(out):
         shape = out.shape
         nblur = jax.random.randint(kn, (), bc.nblur_min, bc.nblur_max)
-        std_blurs = (
-            jax.random.gamma(kb, bc.std_blur_shape, (3,)) * bc.std_blur_scale
-        )
+        std_blurs = gamma_fast(kb, bc.std_blur_shape, (3,)) * bc.std_blur_scale
         sigmas = jnp.maximum(
-            jax.random.gamma(ks, bc.sigma_gamma_loc, (bc.MAX_BLUR, 3))
+            gamma_fast(ks, bc.sigma_gamma_loc, (bc.MAX_BLUR, 3))
             * bc.sigma_gamma_scale,
             1e-2,
         )
@@ -240,8 +239,8 @@ def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: Simulat
 
     def fuzzy(mask):
         n_fuzzy = jax.random.randint(kn1, (), 2, MAX_FUZZY_ROUNDS + 1)
-        n_centers = jnp.minimum(jax.random.poisson(kn2, 100.0), sb.MAX_CENTERS)
-        base_sigma = jnp.maximum(jax.random.poisson(kn3, 8.0), 1)
+        n_centers = jnp.minimum(poisson_icdf(kn2, 100.0, kmax=224), sb.MAX_CENTERS)
+        base_sigma = jnp.maximum(poisson_icdf(kn3, 8.0, kmax=64), 1)
 
         mask_modif = mask
         for r in range(MAX_FUZZY_ROUNDS):
@@ -252,8 +251,8 @@ def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: Simulat
 
         added = ((mask_modif - mask) > 0).astype(jnp.int32)
         centers, valid = masked_random_centers(kc, added, sb.MAX_CENTERS, n_centers)
-        sigmas = base_sigma.astype(jnp.float32) + 10 * jax.random.beta(
-            kbeta, 2.0, 5.0, (sb.MAX_CENTERS, 1)
+        sigmas = base_sigma.astype(jnp.float32) + 10 * beta_int(
+            kbeta, 2, 5, (sb.MAX_CENTERS, 1)
         )
         mog = mog_3d(mask.shape, centers, sigmas, valid)
         surf_proba = jnp.where(added > 0, mog, 0.0)

@@ -159,6 +159,24 @@ class TestNoise:
         got = np.asarray(perlin_noise_3d(jax.random.PRNGKey(17), shape, res))
         np.testing.assert_allclose(got, n, atol=2e-5)
 
+    def test_fast_samplers_match_laws(self):
+        """gamma_int / poisson_icdf / beta_int follow the target laws
+        (moment checks against closed forms at n=20000)."""
+        from fetalsyngen_tpu.ops.rand import beta_int, gamma_int, poisson_icdf
+
+        n = 20000
+        g = np.asarray(gamma_int(jax.random.PRNGKey(0), 3, (n,)))
+        assert abs(g.mean() - 3.0) < 0.05 and abs(g.var() - 3.0) < 0.2
+        p = np.asarray(poisson_icdf(jax.random.PRNGKey(1), 100.0, (n,), kmax=224))
+        assert abs(p.mean() - 100.0) < 0.35 and abs(p.var() - 100.0) < 5.0
+        p8 = np.asarray(poisson_icdf(jax.random.PRNGKey(2), 8.0, (n,), kmax=64))
+        assert abs(p8.mean() - 8.0) < 0.1 and abs(p8.var() - 8.0) < 0.5
+        b = np.asarray(beta_int(jax.random.PRNGKey(3), 2, 5, (n,)))
+        # Beta(2,5): mean 2/7, var ab/((a+b)^2 (a+b+1)) = 10/392
+        assert abs(b.mean() - 2 / 7) < 0.01
+        assert abs(b.var() - 10 / 392) < 0.003
+        assert b.min() >= 0 and b.max() <= 1
+
     def test_topk_flat_matches_exact(self):
         """Blocked two-stage top-k == exact lax.top_k on a realistic
         cortex-shell mask (foreground spans many flat blocks)."""
