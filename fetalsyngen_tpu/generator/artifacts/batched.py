@@ -27,7 +27,11 @@ Known deviations vs the host path (documented, stream-only):
   tier covers (the host path serves the full range via per-scan tiers);
 - zero-valid-slice stacks are dropped instead of redrawn (the reference
   retry, ``simulate_reco.py:366``, virtually never fires for brain-centered
-  stacks); the overflow-stack discard IS replicated.
+  stacks); the overflow-stack discard IS replicated;
+- slice validity comes from a 4x-coarse warped-mask z-profile
+  (``scanner._valid_coarse``) instead of the exact per-slice mask masses —
+  the threshold is relative, so only band-edge slices near the cut can
+  flip (A/B-tested in ``tests/test_batched_artifacts.py``).
 """
 
 from __future__ import annotations
@@ -52,6 +56,7 @@ from .quality import (
 )
 from .scanner import (
     _acquire_one,
+    _coarse_mask,
     _finalize_traced,
     _pad_centered,
     _recon_one,
@@ -531,7 +536,10 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
 
     def run(out):
         vol_p = _pad_centered(out, cube)
-        mask_p = _pad_centered((seg > 0).astype(jnp.float32), cube)
+        # coarse-validity mode: the full-res mask never enters the per-stack
+        # chains (see _acquire_one/_valid_coarse) — one pooled copy per
+        # sample serves every stack
+        cmask = _coarse_mask(_pad_centered((seg > 0).astype(jnp.float32), cube))
         sidx = jnp.arange(ns_grid)
 
         def body(carry, xs):
@@ -543,11 +551,11 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
                 v_acc, w_acc = args
                 skey = jax.random.fold_in(key, 100 + k)
                 slices, valid = _acquire_one(
-                    vol_p, mask_p, st["q_idx"], st["angles"], st["wscale"],
+                    vol_p, None, st["q_idx"], st["angles"], st["wscale"],
                     st["wdelta"], st["G"], row["rs"], row["gap_vox"], row["z0"],
                     row["sig"], st["scal"][0], row["ns"], skey, st["scal"][1],
                     st["scal"][2] > 0.5, st["scal"][3], sp.prob_void,
-                    sp.slice_noise_threshold, cube, ns_grid,
+                    sp.slice_noise_threshold, cube, ns_grid, coarse_mask=cmask,
                 )
                 nv = jnp.sum(valid)
                 overflow = (nv > 0) & (total + nv >= max_slices)

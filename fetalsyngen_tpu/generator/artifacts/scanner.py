@@ -246,8 +246,9 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
     adjacent slices' motion states.) Default configs give
     ``gap_vox = gap/res >= 3``.
     """
+    pair = Wm is not None
     x = jnp.transpose(Wv, (1, 2, 0))  # (v, u, z)
-    m = jnp.transpose(Wm, (1, 2, 0))
+    m = jnp.transpose(Wm, (1, 2, 0)) if pair else None
     lanes = jnp.arange(cube, dtype=jnp.float32)
     n_near = jnp.clip(jnp.round((lanes - z0) / gap_vox), 0, ns_grid - 1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cube, ns_grid), 1)
@@ -261,24 +262,44 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
         + a123[:, 1] * dz["un"][None, :, None]  # un along axis 1 (u)
         + a123[:, 2]
     )
-    x, m = hat_pass_pair(
-        x, m, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48,
-        modes=(False, False), unit_slope=True,
-    )
     Mzn = interp_matrix(z0 + gap_vox * jnp.arange(ns_grid, dtype=jnp.float32), cube)
+    if pair:
+        x, m = hat_pass_pair(
+            x, m, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48,
+            modes=(False, False), unit_slope=True,
+        )
+        m = apply_axis_matrix(m, Mzn, 2)
+        m = jnp.transpose(m, (2, 1, 0))  # (n, u, v)
+    else:
+        x = hat_pass(
+            x, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48, False,
+            unit_slope=True,
+        )
     x = apply_axis_matrix(x, Mzn, 2)  # (v, u, n)
-    m = apply_axis_matrix(m, Mzn, 2)
-    x, m = jnp.transpose(x, (2, 0, 1)), jnp.transpose(m, (2, 0, 1))  # (n, v, u)
-    x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
-    x, m = hat_pass_pair(
-        x, m, (0.0, 0.0, 1.0, 0.0), jnp.transpose(dv, (0, 2, 1)),
-        (ns_grid, cube, cube), 48, modes=(False, False), unit_slope=True,
-    )
-    x, m = jnp.transpose(x, (0, 2, 1)), jnp.transpose(m, (0, 2, 1))
-    x, m = hat_pass_pair(
-        x, m, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48,
-        modes=(False, False), unit_slope=True,
-    )
+    x = jnp.transpose(x, (2, 1, 0))  # (n, u, v)
+    dv_t = jnp.transpose(dv, (0, 2, 1))
+    if pair:
+        x, m = hat_pass_pair(
+            x, m, (0.0, 0.0, 1.0, 0.0), dv_t, (ns_grid, cube, cube), 48,
+            modes=(False, False), unit_slope=True,
+        )
+        m = jnp.transpose(m, (0, 2, 1))
+    else:
+        x = hat_pass(
+            x, (0.0, 0.0, 1.0, 0.0), dv_t, (ns_grid, cube, cube), 48, False,
+            unit_slope=True,
+        )
+    x = jnp.transpose(x, (0, 2, 1))  # (n, v, u)
+    if pair:
+        x, m = hat_pass_pair(
+            x, m, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48,
+            modes=(False, False), unit_slope=True,
+        )
+    else:
+        x = hat_pass(
+            x, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48, False,
+            unit_slope=True,
+        )
     return x, m
 
 
@@ -316,6 +337,57 @@ def _slice_artifacts(key, slices, valid, gamma, gamma_on, sigma, void_prob, thre
     return jnp.where(on, slices * mask, slices)
 
 
+def _coarse_mask(mask_p: jnp.ndarray, f: int = 4) -> jnp.ndarray:
+    """Box-mean pool the PADDED cube mask by ``f`` for coarse validity.
+
+    Pooling the padded cube (not the raw volume) makes the coarse grid's
+    voxel centers land exactly on ``f*i + (f-1)/2`` fine positions, so the
+    coarse center ``(S/f - 1)/2`` maps to the fine center ``(S-1)/2`` and
+    every centered stage of the rigid warp stays aligned without offset
+    corrections (only the final zoom's delta needs rescaling — see
+    :func:`_valid_coarse`).
+    """
+    c = mask_p.shape[0] // f
+    return mask_p.reshape(c, f, c, f, c, f).mean((1, 3, 5))
+
+
+def _valid_coarse(
+    cmask, q_idx, angles, wscale, wdelta, G, thr_frac, ns_count,
+    cube: int, ns_grid: int, f: int = 4,
+):
+    """Slice-validity flags from a coarse warped mask z-profile.
+
+    The exact path derives validity from per-slice masses of the fully
+    warped+extracted mask stack — but the threshold is RELATIVE
+    (``nnz > max(nnz) * thr_frac``, ``simulate_reco.py:408-420``), so any
+    mass-preserving stage (in-plane scale, dv/du deviations) cancels out.
+    What remains is the z-profile of the rigidly warped mask sampled at each
+    slice plane's center ``z = G[n, 0, 3]`` — computed here on an
+    ``f``-times-coarser grid (~1-2% of the exact cost). STREAM-ONLY
+    approximation (host path keeps the exact pair chain): through-plane
+    tilt within a slice is collapsed to the plane center, which can flip a
+    band-edge slice whose mass sits at the threshold.
+    """
+    delta_c = (wdelta + ((f - 1) / 2.0) * (wscale - 1.0)) / f
+    wm, _ = warp_rigid_pair_traced(
+        cmask, None, q_idx, angles, wscale, delta_c, modes=(False, False)
+    )
+    prof = jnp.sum(wm, (1, 2))  # (cube/f,) z mass profile
+    pos_c = (G[:, 0, 3] - (f - 1) / 2.0) / f
+    Mz = interp_matrix(pos_c, cube // f)  # (ns_grid, cube/f)
+    from ...ops.linops import _prec
+
+    nnz = jnp.matmul(Mz, prof, precision=_prec())
+    arange_n = jnp.arange(ns_grid)
+    nnz = nnz * (arange_n < ns_count)
+    thr = jnp.max(nnz) * thr_frac
+    valid = nnz > thr
+    first = jnp.min(jnp.where(valid, arange_n, ns_grid))
+    last = jnp.max(jnp.where(valid, arange_n, -1))
+    valid = (arange_n >= first) & (arange_n <= last) & (arange_n < ns_count)
+    return valid.astype(jnp.float32)
+
+
 def _acquire_one(
     vol_p,
     mask_p,
@@ -338,11 +410,16 @@ def _acquire_one(
     threshold,
     cube: int,
     ns_grid: int,
+    coarse_mask=None,
 ):
     """One stack's acquisition, traced (inputs already padded to the cube).
 
     Returns (slices (NS, SS, SS), valid (NS,) f32). Mirrors the reference
     stack-loop body (``simulate_reco.py:366-424``).
+
+    ``coarse_mask`` (from :func:`_coarse_mask`) switches validity to the
+    coarse z-profile proxy (:func:`_valid_coarse`) and drops the mask
+    operand from every full-resolution pass — the stream's fast mode.
     """
     # acquisition PSF blur (volume only; mask slices are PSF-free,
     # simulate_reco.py:399-407) + xy scale to slice-pixel spacing. Blur and
@@ -357,10 +434,12 @@ def _acquire_one(
     scale_m = interp_matrix((lanes - c_ss) * rs + c_ss, cube)
     sb1 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[1], cube, _BLUR_HALF), precision=_prec())
     sb2 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[2], cube, _BLUR_HALF), precision=_prec())
+    fast = coarse_mask is not None
     Wv, Wm = warp_rigid_pair_traced(
-        vol_p, mask_p, q_idx, angles, wscale, wdelta, modes=(False, False),
+        vol_p, None if fast else mask_p, q_idx, angles, wscale, wdelta,
+        modes=(False, False),
         post_a=(toeplitz_blur_matrix(sig[0], cube, _BLUR_HALF), sb1, sb2),
-        post_b=(None, scale_m, scale_m),
+        post_b=None if fast else (None, scale_m, scale_m),
     )
 
     vv_row = (lanes - c_ss)[None, :, None]
@@ -379,15 +458,21 @@ def _acquire_one(
 
     slices, mslices = _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid)
 
-    # validity from the PSF-free mask-slice mass (simulate_reco.py:408-420)
-    arange_n = jnp.arange(ns_grid)
-    nnz = jnp.sum(mslices, (1, 2)) * (arange_n < ns_count)
-    thr = jnp.max(nnz) * thr_frac
-    valid = nnz > thr
-    first = jnp.min(jnp.where(valid, arange_n, ns_grid))
-    last = jnp.max(jnp.where(valid, arange_n, -1))
-    valid = (arange_n >= first) & (arange_n <= last) & (arange_n < ns_count)
-    valid_f = valid.astype(jnp.float32)
+    if fast:
+        valid_f = _valid_coarse(
+            coarse_mask, q_idx, angles, wscale, wdelta, G, thr_frac, ns_count,
+            cube, ns_grid,
+        )
+    else:
+        # validity from the PSF-free mask-slice mass (simulate_reco.py:408-420)
+        arange_n = jnp.arange(ns_grid)
+        nnz = jnp.sum(mslices, (1, 2)) * (arange_n < ns_count)
+        thr = jnp.max(nnz) * thr_frac
+        valid = nnz > thr
+        first = jnp.min(jnp.where(valid, arange_n, ns_grid))
+        last = jnp.max(jnp.where(valid, arange_n, -1))
+        valid = (arange_n >= first) & (arange_n <= last) & (arange_n < ns_count)
+        valid_f = valid.astype(jnp.float32)
 
     slices = _slice_artifacts(
         key, slices, valid_f, gamma, gamma_on, sigma, void_prob, threshold

@@ -620,19 +620,22 @@ def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
     row, shared by both operands): ~10x cheaper than a hat pass at 384^3.
 
     pos[axis_move] = idx + amount * centered(axis_fix) + bias.
+    ``vb=None`` runs the single-operand form (returns (oa, None)).
     """
     shape = va.shape
     axis_other = next(a for a in range(3) if a not in (axis_move, axis_fix))
     perm = (axis_other, axis_fix, axis_move)
     inv = tuple(np.argsort(perm))
     xa = jnp.transpose(va, perm)
-    xb = jnp.transpose(vb, perm)
     J, K = xa.shape[1], xa.shape[2]
     Ms = _shear_matrices(J, K, K, amount, bias, (shape[axis_fix] - 1) / 2.0, modes)
     from .linops import _prec
 
     prec = _prec()
     oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
+    if vb is None:
+        return jnp.transpose(oa, inv), None
+    xb = jnp.transpose(vb, perm)
     ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
     return jnp.transpose(oa, inv), jnp.transpose(ob, inv)
 
@@ -674,7 +677,7 @@ def warp_rigid_pair_traced(
     cube = va.shape[0]
     out_shape = tuple(out_shape) if out_shape is not None else va.shape
     a = apply_quarter_turn(va.astype(jnp.float32), q_idx)
-    b = apply_quarter_turn(vb.astype(jnp.float32), q_idx)
+    b = apply_quarter_turn(vb.astype(jnp.float32), q_idx) if vb is not None else None
     for axis in range(3):
         th = angles[axis]
         sh1 = -jnp.tan(th / 2.0)
@@ -682,14 +685,20 @@ def warp_rigid_pair_traced(
         a, b = _paeth3_pair(a, b, sh1, sh2, axis, modes)
     for axis in range(3):
         coords = scale * jnp.arange(out_shape[axis], dtype=jnp.float32) + delta[axis]
-        Ma = _interp_or_nearest_matrix(coords, cube, modes[0])
-        Mb = Ma if modes[1] == modes[0] else _interp_or_nearest_matrix(coords, cube, modes[1])
+        M_raw = _interp_or_nearest_matrix(coords, cube, modes[0])
+        Ma = M_raw
         if post_a is not None and post_a[axis] is not None:
             Ma = jnp.matmul(post_a[axis], Ma, precision=_prec())
-        if post_b is not None and post_b[axis] is not None:
-            Mb = jnp.matmul(post_b[axis], Mb, precision=_prec())
         a = apply_axis_matrix(a, Ma, axis)
-        b = apply_axis_matrix(b, Mb, axis)
+        if b is not None:
+            Mb = (
+                M_raw
+                if modes[1] == modes[0]
+                else _interp_or_nearest_matrix(coords, cube, modes[1])
+            )
+            if post_b is not None and post_b[axis] is not None:
+                Mb = jnp.matmul(post_b[axis], Mb, precision=_prec())
+            b = apply_axis_matrix(b, Mb, axis)
     return a, b
 
 

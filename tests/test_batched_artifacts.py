@@ -156,6 +156,44 @@ class TestMotionTraced:
             )[0, 1]
             assert c > 0.4, c
 
+    def test_coarse_validity_matches_exact(self, vols):
+        """_valid_coarse (stream fast mode) vs the exact mask-mass validity:
+        flags agree except possibly band-edge slices near the threshold."""
+        from fetalsyngen_tpu.generator.artifacts import scanner as sc
+
+        out, seg = vols
+        sm = _tiny_motion(prob=1.0)
+        cube, nsg = 64, 32
+        rng = np.random.default_rng(4)
+        pack = jax.tree.map(
+            jnp.asarray, ba.pack_motion(rng, 2, SHAPE, 0.5, sm, cube, nsg)
+        )
+        vol_p = sc._pad_centered(out.astype(jnp.float32), cube)
+        mask_p = sc._pad_centered((seg > 0).astype(jnp.float32), cube)
+        cmask = sc._coarse_mask(mask_p)
+        sp = sm.scanner_args
+        for b in range(2):
+            row = jax.tree.map(lambda a: a[b], pack)
+            st = {
+                k: row[k][0]
+                for k in ("q_idx", "angles", "wscale", "wdelta", "G", "scal")
+            }  # first attempt stack
+            args = (
+                st["q_idx"], st["angles"], st["wscale"], st["wdelta"], st["G"],
+                row["rs"], row["gap_vox"], row["z0"], row["sig"],
+                st["scal"][0], row["ns"], jax.random.PRNGKey(b),
+                st["scal"][1], st["scal"][2] > 0.5, st["scal"][3],
+                sp.prob_void, sp.slice_noise_threshold, cube, nsg,
+            )
+            _, v_exact = sc._acquire_one(vol_p, mask_p, *args)
+            _, v_coarse = sc._acquire_one(vol_p, None, *args, coarse_mask=cmask)
+            ve, vc = np.asarray(v_exact), np.asarray(v_coarse)
+            diff = int(np.abs(ve - vc).sum())
+            assert diff <= 2, (ve, vc)  # only band-edge slices may flip
+            if ve.sum() >= 4:  # interior flags identical
+                band = np.where(ve > 0)[0]
+                assert np.array_equal(ve[band[1]:band[-1]], vc[band[1]:band[-1]])
+
     def test_motion_off_is_identity(self, vols):
         out, seg = vols
         sm = _tiny_motion(prob=0.0)
