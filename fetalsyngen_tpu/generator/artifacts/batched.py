@@ -249,10 +249,16 @@ def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: Simulat
 
         mask_modif = mask
         for r in range(MAX_FUZZY_ROUNDS):
-            nxt = SimulatedBoundaries._fuzzy_once.__wrapped__(
-                jax.random.fold_in(key, 10 + r), mask_modif
+            # cond (not where): under the stream's sequential lax.map the
+            # skipped rounds' morphology is actually not computed
+            mask_modif = lax.cond(
+                r < n_fuzzy,
+                lambda m, r=r: SimulatedBoundaries._fuzzy_once.__wrapped__(
+                    jax.random.fold_in(key, 10 + r), m
+                ),
+                lambda m: m,
+                mask_modif,
             )
-            mask_modif = jnp.where(r < n_fuzzy, nxt, mask_modif)
 
         added = ((mask_modif - mask) > 0).astype(jnp.int32)
         centers, valid = masked_random_centers(kc, added, sb.MAX_CENTERS, n_centers)
@@ -268,10 +274,23 @@ def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: Simulat
         )
         cur = mask
         reach = jnp.where(mask > 0, 0, MAX_DILATE + 10)
-        for i in range(MAX_DILATE):
-            grow = (i >= 2) & (i < n_dilate)
-            cur = jnp.where(grow, _dilate1(cur), cur)
-            reach = jnp.where((reach > i) & (cur > 0) & (i < n_dilate), i, reach)
+
+        def ladder_chunk(c0, cur, reach):
+            for i in range(c0, c0 + 6):
+                grow = (i >= 2) & (i < n_dilate)
+                cur = jnp.where(grow, _dilate1(cur), cur)
+                reach = jnp.where((reach > i) & (cur > 0) & (i < n_dilate), i, reach)
+            return cur, reach
+
+        # chunks past n_dilate are exact no-ops (every update is gated on
+        # i < n_dilate) — cond them away so the rolls don't run
+        for c0 in (0, 6, 12):
+            cur, reach = lax.cond(
+                c0 < n_dilate,
+                lambda cr, c0=c0: ladder_chunk(c0, *cr),
+                lambda cr: cr,
+                (cur, reach),
+            )
         return ((reach <= levels) & (mask_modif > 0)).astype(jnp.int32) | mask
 
     def masked(out):

@@ -470,12 +470,13 @@ def _init_quarter_table():
 
 
 _QUARTER_MATS, _QUARTER_OPS = _init_quarter_table()
+_QUARTER_STACK = np.stack(_QUARTER_MATS)  # (24, 3, 3)
 
 
 def nearest_quarter_index(R) -> int:
     """Host: index of the cube rotation nearest (Frobenius) to ``R``."""
     R = np.asarray(R, np.float64)
-    return int(np.argmax([np.trace(P.T @ R) for P in _QUARTER_MATS]))
+    return int(np.argmax(np.einsum("kij,ij->k", _QUARTER_STACK, R)))
 
 
 def quarter_matrix(idx: int) -> np.ndarray:
