@@ -247,8 +247,8 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
     ``gap_vox = gap/res >= 3``.
     """
     pair = Wm is not None
-    x = jnp.transpose(Wv, (1, 2, 0))  # (v, u, z)
-    m = jnp.transpose(Wm, (1, 2, 0)) if pair else None
+    x = Wv  # already (v, u, z): the rigid warp emits out_perm=(1, 2, 0)
+    m = Wm
     lanes = jnp.arange(cube, dtype=jnp.float32)
     n_near = jnp.clip(jnp.round((lanes - z0) / gap_vox), 0, ns_grid - 1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cube, ns_grid), 1)
@@ -262,21 +262,23 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
         + a123[:, 1] * dz["un"][None, :, None]  # un along axis 1 (u)
         + a123[:, 2]
     )
+    from ...ops.linops import _prec
+
     Mzn = interp_matrix(z0 + gap_vox * jnp.arange(ns_grid, dtype=jnp.float32), cube)
     if pair:
         x, m = hat_pass_pair(
             x, m, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48,
             modes=(False, False), unit_slope=True,
         )
-        m = apply_axis_matrix(m, Mzn, 2)
-        m = jnp.transpose(m, (2, 1, 0))  # (n, u, v)
+        # n-extraction emitting (n, u, v) directly — the relayout rides the
+        # matmul epilogue instead of a separate full-volume transpose
+        m = jnp.einsum("oi,jki->okj", Mzn, m, precision=_prec())
     else:
         x = hat_pass(
             x, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48, False,
             unit_slope=True,
         )
-    x = apply_axis_matrix(x, Mzn, 2)  # (v, u, n)
-    x = jnp.transpose(x, (2, 1, 0))  # (n, u, v)
+    x = jnp.einsum("oi,jki->okj", Mzn, x, precision=_prec())  # (n, u, v)
     dv_t = jnp.transpose(dv, (0, 2, 1))
     if pair:
         x, m = hat_pass_pair(
@@ -440,6 +442,7 @@ def _acquire_one(
         modes=(False, False),
         post_a=(toeplitz_blur_matrix(sig[0], cube, _BLUR_HALF), sb1, sb2),
         post_b=None if fast else (None, scale_m, scale_m),
+        out_perm=(1, 2, 0),  # emit (v, u, z) for the extract chain
     )
 
     vv_row = (lanes - c_ss)[None, :, None]
@@ -615,13 +618,13 @@ def _recon_one(
         (cube, cube, ns_grid), 48, modes=(False, False), unit_slope=True,
     )
     # n->z placement and the z-thickness recon PSF act on the same axis in
-    # the same frame — one composed (cube, ns_grid) matmul for both.
+    # the same frame — one composed (cube, ns_grid) matmul for both, whose
+    # einsum emits (z, v, u) directly (no separate transpose).
     Mn2z = jnp.matmul(
         sigz_m, interp_matrix((lanes - z0) / gap_vox, ns_grid), precision=_prec()
     )
-    x = apply_axis_matrix(x, Mn2z, 2)  # (u, v, z)
-    w = apply_axis_matrix(w, Mn2z, 2)
-    x, w = jnp.transpose(x, (2, 1, 0)), jnp.transpose(w, (2, 1, 0))  # (z, v, u)
+    x = jnp.einsum("oi,jki->okj", Mn2z, x, precision=_prec())  # (z, v, u)
+    w = jnp.einsum("oi,jki->okj", Mn2z, w, precision=_prec())
 
     def spread(y):
         # in-plane recon PSF (simulate_reco.py:338-344): sinc fused with the

@@ -651,10 +651,10 @@ def _interp_or_nearest_matrix(coords, in_size, nearest):
     return (cols == idx[:, None]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "modes"))
+@functools.partial(jax.jit, static_argnames=("out_shape", "modes", "out_perm"))
 def warp_rigid_pair_traced(
     va, vb, q_idx, angles, scale, delta, out_shape=None, modes=(False, False),
-    post_a=None, post_b=None,
+    post_a=None, post_b=None, out_perm=None,
 ):
     """``out[q] = V[A q + t]`` for two CUBE volumes with a fully TRACED
     rotation-times-isotropic-scale map (from
@@ -672,6 +672,11 @@ def warp_rigid_pair_traced(
     matrix product), so a caller's separable post-ops (e.g. the scanner's
     acquisition PSF blur + in-plane scale) ride the same three volume
     contractions instead of paying their own.
+
+    ``out_perm=(1, 2, 0)`` emits the outputs pre-transposed to (axis1,
+    axis2, axis0) by permuting the FINAL zoom einsum's output subscripts —
+    the relayout rides the matmul epilogue instead of a separate
+    full-volume transpose. Identical values.
     """
     from .linops import _prec, apply_axis_matrix
 
@@ -684,13 +689,18 @@ def warp_rigid_pair_traced(
         sh1 = -jnp.tan(th / 2.0)
         sh2 = jnp.sin(th)
         a, b = _paeth3_pair(a, b, sh1, sh2, axis, modes)
+    # out_perm folds the final relayout into the last einsum's output order
+    last_spec = {None: None, (1, 2, 0): "oi,jki->koj"}[out_perm]
     for axis in range(3):
         coords = scale * jnp.arange(out_shape[axis], dtype=jnp.float32) + delta[axis]
         M_raw = _interp_or_nearest_matrix(coords, cube, modes[0])
         Ma = M_raw
         if post_a is not None and post_a[axis] is not None:
             Ma = jnp.matmul(post_a[axis], Ma, precision=_prec())
-        a = apply_axis_matrix(a, Ma, axis)
+        if axis == 2 and last_spec is not None:
+            a = jnp.einsum(last_spec, Ma, a, precision=_prec())
+        else:
+            a = apply_axis_matrix(a, Ma, axis)
         if b is not None:
             Mb = (
                 M_raw
@@ -699,7 +709,10 @@ def warp_rigid_pair_traced(
             )
             if post_b is not None and post_b[axis] is not None:
                 Mb = jnp.matmul(post_b[axis], Mb, precision=_prec())
-            b = apply_axis_matrix(b, Mb, axis)
+            if axis == 2 and last_spec is not None:
+                b = jnp.einsum(last_spec, Mb, b, precision=_prec())
+            else:
+                b = apply_axis_matrix(b, Mb, axis)
     return a, b
 
 
