@@ -314,10 +314,10 @@ def _slice_artifacts(key, slices, valid, gamma, gamma_on, sigma, void_prob, thre
     g = 300.0 * jnp.power(jnp.maximum(slices, 0.0) / 300.0, gamma)
     g = g / jnp.maximum(jnp.max(g * vmask), 1e-6)
     slices = jnp.where(gamma_on, g, slices)
-    # Rician noise over voxels above threshold (simulate_reco.py:236-256)
-    n1 = jax.random.normal(k1, slices.shape) * sigma
-    n2 = jax.random.normal(k2, slices.shape) * sigma
-    noisy = jnp.sqrt((slices + n1) ** 2 + n2**2)
+    # Rician noise over voxels above threshold (simulate_reco.py:236-256);
+    # both components from one threefry call
+    n12 = jax.random.normal(k1, (2,) + slices.shape) * sigma
+    noisy = jnp.sqrt((slices + n12[0]) ** 2 + n12[1] ** 2)
     slices = jnp.where(slices > threshold, noisy, slices)
     # signal voids (simulate_reco.py:258-298)
     n = slices.shape[0]
