@@ -78,9 +78,12 @@ def sq_edt(mask: jnp.ndarray, max_radius: int) -> jnp.ndarray:
     Three 1-D min-plus passes with parabolic increments (the same identity
     :func:`ops.morphology.ball_dilate` uses) — but returning the distance
     field so the ball radius can be TRACED: ``dilate_r(mask) == sq_edt <= r^2``.
+    All values are small exact integers, so the ~6*max_radius roll+min
+    passes run in int16 (half the HBM traffic of f32; sentinel 20000 keeps
+    ``shifted + off^2`` < 32767).
     """
-    big = jnp.float32(1e9)
-    d2 = jnp.where(mask > 0, 0.0, big)
+    big = jnp.int16(20000)
+    d2 = jnp.where(mask > 0, jnp.int16(0), big)
     for axis in range(3):
         idx = lax.broadcasted_iota(jnp.int32, d2.shape, axis)
         acc = d2
@@ -89,26 +92,32 @@ def sq_edt(mask: jnp.ndarray, max_radius: int) -> jnp.ndarray:
                 continue
             shifted = jnp.roll(d2, off, axis=axis)
             ok = (idx - off >= 0) & (idx - off < d2.shape[axis])
-            acc = jnp.minimum(acc, jnp.where(ok, shifted + float(off * off), big))
+            acc = jnp.minimum(
+                acc, jnp.where(ok, shifted + jnp.int16(off * off), big)
+            )
         d2 = acc
     return d2
 
 
 def ball_dilate_traced(mask: jnp.ndarray, radius: jnp.ndarray, max_radius: int) -> jnp.ndarray:
     """Euclidean-ball dilation with a TRACED radius (<= ``max_radius``)."""
-    return (sq_edt(mask, max_radius) <= radius.astype(jnp.float32) ** 2 + 1e-3).astype(
-        jnp.int32
-    )
+    return (
+        sq_edt(mask, max_radius) <= (radius * radius).astype(jnp.int16)
+    ).astype(jnp.int32)
 
 
 def _dilate1(mask: jnp.ndarray) -> jnp.ndarray:
-    """Unit-ball (6-neighborhood) dilation via rolls — cheap inner step."""
+    """Unit-ball (6-neighborhood) dilation via rolls — cheap inner step.
+
+    Preserves the input dtype (the dilate ladder runs it in int8 — 4x less
+    roll traffic than int32)."""
     out = mask
+    zero = jnp.zeros((), mask.dtype)
     for axis in range(3):
         idx = lax.broadcasted_iota(jnp.int32, mask.shape, axis)
         for off in (-1, 1):
             ok = (idx - off >= 0) & (idx - off < mask.shape[axis])
-            out = jnp.maximum(out, jnp.where(ok, jnp.roll(mask, off, axis=axis), 0))
+            out = jnp.maximum(out, jnp.where(ok, jnp.roll(mask, off, axis=axis), zero))
     return out
 
 
@@ -272,14 +281,16 @@ def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: Simulat
         levels = jnp.clip(
             jnp.round(surf_proba * (n_dilate + 2) - 1).astype(jnp.int32), 0, None
         )
-        cur = mask
-        reach = jnp.where(mask > 0, 0, MAX_DILATE + 10)
+        cur = mask.astype(jnp.int8)
+        reach = jnp.where(mask > 0, 0, MAX_DILATE + 10).astype(jnp.int8)
 
         def ladder_chunk(c0, cur, reach):
             for i in range(c0, c0 + 6):
                 grow = (i >= 2) & (i < n_dilate)
                 cur = jnp.where(grow, _dilate1(cur), cur)
-                reach = jnp.where((reach > i) & (cur > 0) & (i < n_dilate), i, reach)
+                reach = jnp.where(
+                    (reach > i) & (cur > 0) & (i < n_dilate), jnp.int8(i), reach
+                )
             return cur, reach
 
         # chunks past n_dilate are exact no-ops (every update is gated on
