@@ -550,33 +550,6 @@ def decompose_affine_paeth_host(A, t, cube):
 MAXSPAN_SHEAR = 40
 
 
-def _shear_pass_pair(va, vb, axis_move, axis_fix, amount, bias, modes):
-    """Pair shear: pos[axis_move] = idx + amount * centered(axis_fix) + bias."""
-    c = [(s - 1) / 2.0 for s in va.shape]
-    perm = [a for a in range(3) if a != axis_move] + [axis_move]
-    xa = jnp.transpose(va, perm)
-    xb = jnp.transpose(vb, perm)
-    shp = tuple(xa.shape)
-    ci = cj = 0.0
-    if perm[0] == axis_fix:
-        ci = amount
-    else:
-        cj = amount
-    b = bias - amount * c[axis_fix]
-    xa, xb = hat_pass_pair(xa, xb, (ci, cj, 1.0, b), None, shp, MAXSPAN_SHEAR, modes=modes)
-    inv = tuple(np.argsort(perm))
-    return jnp.transpose(xa, inv), jnp.transpose(xb, inv)
-
-
-def _paeth3_pair(a, b, sh1, sh2, axis, modes):
-    """Paeth shear trio on a volume pair (traced shear amounts), each shear a
-    batched MXU matmul."""
-    u, v = _PLANE[axis]
-    a, b = _shear_pass_pair_mm(a, b, u, v, sh1, 0.0, modes)
-    a, b = _shear_pass_pair_mm(a, b, v, u, sh2, 0.0, modes)
-    return _shear_pass_pair_mm(a, b, u, v, sh1, 0.0, modes)
-
-
 def _shear_matrices(J, K, S, amount, bias, c_fix, modes, slope=1.0):
     """(J, K, S) banded per-row resampling operators
     ``M[j,k,s] = hat(pos(j,k) - s)``, ``pos = slope*k + amount*(j - c_fix) +
@@ -682,17 +655,34 @@ def warp_rigid_pair_traced(
 
     cube = va.shape[0]
     out_shape = tuple(out_shape) if out_shape is not None else va.shape
+    cc = (cube - 1) / 2.0
     a = apply_quarter_turn(va.astype(jnp.float32), q_idx)
     b = apply_quarter_turn(vb.astype(jnp.float32), q_idx) if vb is not None else None
+    # Each per-axis rotation [[c,-s],[s,c]] on plane (u, v) factors as
+    # diag(1/c, c) @ [[1, -s*c],[0, 1]] @ [[1, 0],[s/c, 1]] — TWO unit
+    # shears instead of the Paeth trio's three, with the diagonal deferred.
+    # Pulling every diagonal rightward through later unit shears conjugates
+    # their amounts (amount * C[move]/C[fix], C = cumulative diagonal), and
+    # the accumulated per-axis scales fold into the final zoom coords:
+    # 6 volume contractions for the full rotation instead of 9.
+    C = [jnp.float32(1.0)] * 3
     for axis in range(3):
+        u_ax, v_ax = _PLANE[axis]
         th = angles[axis]
-        sh1 = -jnp.tan(th / 2.0)
-        sh2 = jnp.sin(th)
-        a, b = _paeth3_pair(a, b, sh1, sh2, axis, modes)
+        c = jnp.cos(th)
+        s = jnp.sin(th)
+        C[u_ax] = C[u_ax] / c
+        C[v_ax] = C[v_ax] * c
+        amt_u = (-s * c) * C[u_ax] / C[v_ax]
+        amt_v = (s / c) * C[v_ax] / C[u_ax]
+        a, b = _shear_pass_pair_mm(a, b, u_ax, v_ax, amt_u, 0.0, modes)
+        a, b = _shear_pass_pair_mm(a, b, v_ax, u_ax, amt_v, 0.0, modes)
     # out_perm folds the final relayout into the last einsum's output order
     last_spec = {None: None, (1, 2, 0): "oi,jki->koj"}[out_perm]
     for axis in range(3):
-        coords = scale * jnp.arange(out_shape[axis], dtype=jnp.float32) + delta[axis]
+        coords = C[axis] * (
+            scale * jnp.arange(out_shape[axis], dtype=jnp.float32) + delta[axis] - cc
+        ) + cc
         M_raw = _interp_or_nearest_matrix(coords, cube, modes[0])
         Ma = M_raw
         if post_a is not None and post_a[axis] is not None:

@@ -249,29 +249,29 @@ class TestScannerKernelGolden:
     ``fetalsyngen_tpu.testing.scanner_ab_case``.
     """
 
-    # CPU jnp-fallback path, seed 11 geometry (2026-08-17, post z-pass
-    # factorization). Regenerate by running scanner_ab_case/run_scanner_ab
-    # under JAX_PLATFORMS=cpu.
+    # CPU jnp-fallback path, seed 11 geometry (2026-08-17, post 6-shear
+    # rotation factorization). Regenerate by running
+    # scanner_ab_case/run_scanner_ab under JAX_PLATFORMS=cpu.
     SLICE_PROBES = [
         ((7, 40, 30), 0.0),
-        ((10, 47, 41), 1.8380397e-13),
-        ((13, 54, 52), 100.143555),
-        ((16, 61, 63), 100.04112),
-        ((19, 68, 74), 14.460511),
+        ((10, 47, 41), 1.5674326e-12),
+        ((13, 54, 52), 100.13177),
+        ((16, 61, 63), 100.0352),
+        ((19, 68, 74), 14.605624),
     ]
     RECON_PROBES = [
-        ((30, 28, 25), 88.1272, 1.0000001),
-        ((35, 35, 34), 99.96826, 1.0000001),
-        ((40, 42, 43), 100.001686, 1.0000002),
-        ((45, 49, 52), 99.86333, 1.0000001),
-        ((50, 56, 61), 99.95102, 1.0000001),
-        ((55, 63, 70), 92.36668, 1.0000001),
-        ((60, 70, 79), 0.90641266, 1.0000001),
+        ((30, 28, 25), 87.10042, 1.0000002),
+        ((35, 35, 34), 99.97409, 1.0000004),
+        ((40, 42, 43), 100.00462, 1.0000002),
+        ((45, 49, 52), 99.86345, 1.0000002),
+        ((50, 56, 61), 99.95189, 1.0000002),
+        ((55, 63, 70), 92.18525, 1.0000002),
+        ((60, 70, 79), 0.9632144, 1.0000002),
     ]
     VALID_SUM = 16.0
-    SLICE_MEAN = 6.379234790802002
-    V_MEAN = 15.482776641845703
-    W_MEAN = 0.7433692812919617
+    SLICE_MEAN = 6.3798933
+    V_MEAN = 15.476939
+    W_MEAN = 0.74333155
 
     def test_acquire_recon_pinned_vs_cpu_path(self):
         from fetalsyngen_tpu.testing import run_scanner_ab, scanner_ab_case
