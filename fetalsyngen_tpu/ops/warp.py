@@ -568,13 +568,15 @@ def _shear_matrices(J, K, S, amount, bias, c_fix, modes, slope=1.0):
     return out
 
 
-def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None):
+def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None, out_order="ijk"):
     """Resample the LAST axis of a pair at ``pos = slope*k + amount*row_j +
     bias`` (row_j = raw middle-axis index) via a batched MXU matmul —
     identical semantics to a ``hat_pass_pair`` whose position map has no
     displacement and no row_i term, at ~10x lower cost.
 
-    x layouts: (I, J, S) -> (I, J, out_len or S).
+    x layouts: (I, J, S) -> axes (i, j, k=resampled) emitted in
+    ``out_order`` — a permutation string over "ijk"; a non-default order
+    folds the caller's follow-up transpose into the matmul epilogue.
     """
     J, S = xa.shape[1], xa.shape[2]
     OK = S if out_len is None else out_len
@@ -584,8 +586,9 @@ def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None):
     from .linops import _prec
 
     prec = _prec()
-    oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
-    ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
+    spec = f"jks,ijs->{out_order}"
+    oa = jnp.einsum(spec, Ms[modes[0]], xa, precision=prec)
+    ob = jnp.einsum(spec, Ms[modes[1]], xb, precision=prec)
     return oa, ob
 
 
@@ -976,22 +979,20 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     def tp(x, p):
         return jnp.transpose(x, p)
 
+    # U stage: every matmul emits the NEXT stage's layout directly via the
+    # einsum output order (out_order) — no standalone pair transposes.
     # U-z: pos_k = U22*k + t2 (lanes only) — batched matmul, amount 0
-    a, b = _row_affine_matmul_pair(a, b, U[2, 2], 0.0, t[2], modes)
-    a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
+    a, b = _row_affine_matmul_pair(a, b, U[2, 2], 0.0, t[2], modes, out_order="ikj")
     # U-y on (i, k, j): pos_j = U12*k + U11*j + t1 — batched matmul over k
-    a, b = _row_affine_matmul_pair(a, b, U[1, 1], U[1, 2], t[1], modes)
-    a, b = tp(a, (2, 1, 0)), tp(b, (2, 1, 0))
+    a, b = _row_affine_matmul_pair(a, b, U[1, 1], U[1, 2], t[1], modes, out_order="kji")
     # U-x: pos_i = U00*i + U01*j + U02*k + t0 has TWO row terms — split into
     # two single-row-term batched matmuls (i <- i + U02*k, then
     # i <- U00*i + U01*j + t0; compositions compose along the lane axis), so
     # the whole U stage rides the MXU and only the three displacement passes
     # below need the hat kernel. Extra cost: one more interpolation along i
     # (same sheared-kernel error class the Paeth trios accept).
-    a, b = _row_affine_matmul_pair(a, b, 1.0, U[0, 2], 0.0, modes)  # (j,k,i), row k
-    a, b = tp(a, (1, 0, 2)), tp(b, (1, 0, 2))
-    a, b = _row_affine_matmul_pair(a, b, U[0, 0], U[0, 1], t[0], modes)  # (k,j,i), row j
-    a, b = tp(a, (2, 0, 1)), tp(b, (2, 0, 1))
+    a, b = _row_affine_matmul_pair(a, b, 1.0, U[0, 2], 0.0, modes, out_order="jik")  # (j,k,i), row k
+    a, b = _row_affine_matmul_pair(a, b, U[0, 0], U[0, 1], t[0], modes, out_order="kij")  # (k,j,i), row j
     a, b = hat_pass_pair(
         a, b, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H),
         MAXSPAN_FIELD, unit_slope=True,
