@@ -200,27 +200,31 @@ def _pad_centered(vol: jnp.ndarray, cube: int) -> jnp.ndarray:
     return jnp.pad(vol, pads)
 
 
-def _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col):
-    """Per-slice deviation fields from the (NS, 3, 4) affine table, on device.
+def _inplane_coef_tables(G, rs, c_ss, sign: float):
+    """(NS, 4) per-slice coefficient tables for the dv/du hat passes.
 
-    G maps slice-local axis coords (0, v*rs, u*rs) -> stack-frame axis coords.
-    Returns (dz, dv, du) with z in stack-voxel units and in-plane deviations
-    on the rs-spaced slice-pixel grid.
+    The in-plane deviations are AFFINE per slice, so each pass's position is
+    ``pos = cj*row_j + ck*lane + bias`` with per-slice scalars — expressed
+    as the hat kernel's per-slice coef-table form (``hat_pass_pair``), no
+    materialized displacement volume. ``sign=+1`` gives the acquisition
+    deviation, ``-1`` the reconstruction inverse (pos = lane -+ dev).
+
+    dv pass runs on (n, u, v) layout (row_j = u, lane = v):
+      pos = v + sign*[(a-1)(v-c) + b(u-c) + (g-c)/rs],
+      a = G[n,1,1], b = G[n,1,2], g = G[n,1,3].
+    du pass runs on (n, v, u) layout (row_j = v, lane = u), rows 2 of G.
     """
-    vn = vv_row * rs  # (1, SS, 1) voxel-unit in-plane offsets
-    un = vv_col * rs  # (1, 1, SS)
+    z = jnp.zeros_like(G[:, 0, 0])
 
-    def q(a):
-        return (
-            G[:, a, 1][:, None, None] * vn
-            + G[:, a, 2][:, None, None] * un
-            + G[:, a, 3][:, None, None]
-        )
+    def tab(a, b, g):
+        ck = 1.0 + sign * (a - 1.0)
+        cj = sign * b
+        bias = sign * (-(a - 1.0) * c_ss - b * c_ss + (g - c_ss) / rs)
+        return jnp.stack([z, cj, ck, bias], -1)
 
-    dz = q(0) - base_z
-    dv = (q(1) - c_ss) / rs - vv_row
-    du = (q(2) - c_ss) / rs - vv_col
-    return dz, dv, du
+    dv_tab = tab(G[:, 1, 1], G[:, 1, 2], G[:, 1, 3])
+    du_tab = tab(G[:, 2, 2], G[:, 2, 1], G[:, 2, 3])
+    return dv_tab, du_tab
 
 
 def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
@@ -279,29 +283,23 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
             unit_slope=True,
         )
     x = jnp.einsum("oi,jki->okj", Mzn, x, precision=_prec())  # (n, u, v)
-    dv_t = jnp.transpose(dv, (0, 2, 1))
+    # dv/du are per-slice AFFINE — coef-table passes, no displacement volume
     if pair:
         x, m = hat_pass_pair(
-            x, m, (0.0, 0.0, 1.0, 0.0), dv_t, (ns_grid, cube, cube), 48,
+            x, m, dv, None, (ns_grid, cube, cube), 48,
             modes=(False, False), unit_slope=True,
         )
         m = jnp.transpose(m, (0, 2, 1))
     else:
-        x = hat_pass(
-            x, (0.0, 0.0, 1.0, 0.0), dv_t, (ns_grid, cube, cube), 48, False,
-            unit_slope=True,
-        )
+        x = hat_pass(x, dv, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
     x = jnp.transpose(x, (0, 2, 1))  # (n, v, u)
     if pair:
         x, m = hat_pass_pair(
-            x, m, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48,
+            x, m, du, None, (ns_grid, cube, cube), 48,
             modes=(False, False), unit_slope=True,
         )
     else:
-        x = hat_pass(
-            x, (0.0, 0.0, 1.0, 0.0), du, (ns_grid, cube, cube), 48, False,
-            unit_slope=True,
-        )
+        x = hat_pass(x, du, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
     return x, m
 
 
@@ -445,12 +443,10 @@ def _acquire_one(
         out_perm=(1, 2, 0),  # emit (v, u, z) for the extract chain
     )
 
-    vv_row = (lanes - c_ss)[None, :, None]
-    vv_col = (lanes - c_ss)[None, None, :]
     nidx = jnp.arange(ns_grid, dtype=jnp.float32)
-    base_z = z0 + nidx[:, None, None] * gap_vox
-    _, dv, du = _slice_fields(G, rs, c_ss, base_z, vv_row, vv_col)
-    # dz kept in per-slice affine-coefficient form (see _extract_pair)
+    # dz kept in per-slice affine-coefficient form (see _extract_pair);
+    # dv/du as per-slice coef TABLES (no displacement volumes at all)
+    dv_tab, du_tab = _inplane_coef_tables(G, rs, c_ss, 1.0)
     dz = {
         "coef": jnp.stack(
             [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap_vox)], -1
@@ -459,7 +455,7 @@ def _acquire_one(
         "un": (lanes - c_ss) * rs,
     }
 
-    slices, mslices = _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid)
+    slices, mslices = _extract_pair(Wv, Wm, gap_vox, z0, dz, dv_tab, du_tab, cube, ns_grid)
 
     if fast:
         valid_f = _valid_coarse(
@@ -573,7 +569,17 @@ def _recon_one(
     vv_col = (lanes - c_ss)[None, None, :]
     nidx = jnp.arange(ns_grid, dtype=jnp.float32)
     base_z = z0 + nidx[:, None, None] * gap_vox
-    dz_r, dv_r, du_r = _slice_fields(Grec, rs, c_ss, base_z, vv_row, vv_col)
+    # dz needs the full field (it varies per LANE in its pass); dv/du are
+    # per-slice coef tables (sign -1: inverse deviations)
+    vn = vv_row * rs
+    un = vv_col * rs
+    dz_r = (
+        Grec[:, 0, 1][:, None, None] * vn
+        + Grec[:, 0, 2][:, None, None] * un
+        + Grec[:, 0, 3][:, None, None]
+        - base_z
+    )
+    dv_tab, du_tab = _inplane_coef_tables(Grec, rs, c_ss, -1.0)
 
     from ...ops.linops import _prec
 
@@ -600,15 +606,9 @@ def _recon_one(
     # slice (a broadcast of keep_f), and an edge-clamped hat pass maps a
     # constant row to itself — w only starts changing at the slice-index
     # deviation pass, where adjacent slices' weights mix.
-    x = hat_pass(
-        masked, (0.0, 0.0, 1.0, 0.0), -du_r, (ns_grid, cube, cube),
-        48, False, unit_slope=True,
-    )
+    x = hat_pass(masked, du_tab, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
     x = jnp.transpose(x, (0, 2, 1))  # (n, u, v)
-    x = hat_pass(
-        x, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dv_r, (0, 2, 1)),
-        (ns_grid, cube, cube), 48, False, unit_slope=True,
-    )
+    x = hat_pass(x, dv_tab, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
     x = jnp.transpose(x, (1, 2, 0))  # (u, v, n)
     w = jnp.broadcast_to(
         keep_f[None, None, :], (cube, cube, ns_grid)

@@ -239,19 +239,27 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
     OW = W if out_len is None else out_len
     R = D * H
     x2d = vol.reshape(R, W)
-    coefs = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+    per_slice = isinstance(coefs, jnp.ndarray) and getattr(coefs, "ndim", 1) == 2
+    coefs = (
+        coefs.astype(jnp.float32)
+        if per_slice
+        else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+    )
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
-    if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan):
+    if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
+        per_slice and H % BLOCK_ROWS != 0
+    ):
         rows = jnp.arange(R, dtype=jnp.float32)
         ri = jnp.floor(rows / H)
         rj = rows - ri * H
         lanes = jnp.arange(OW, dtype=jnp.float32)
+        c = jnp.repeat(coefs, H, axis=0) if per_slice else coefs[None, :]
         pos = (
-            coefs[0] * ri[:, None]
-            + coefs[1] * rj[:, None]
-            + coefs[2] * lanes[None, :]
-            + coefs[3]
+            c[:, 0:1] * ri[:, None]
+            + c[:, 1:2] * rj[:, None]
+            + c[:, 2:3] * lanes[None, :]
+            + c[:, 3:4]
         )
         if disp is not None:
             pos = pos + disp.reshape(R, OW)
@@ -280,7 +288,13 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
         out_shape=jax.ShapeDtypeStruct((R, OW), jnp.float32),
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 4),
+                (lambda r, h: (r // (H // BLOCK_ROWS), 0))
+                if per_slice
+                else (lambda r, h: (0, 0)),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM),
             disp_spec,
         ],
@@ -290,7 +304,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
             pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(coefs.reshape(1, 4), x2d, disp2d)
+    )(coefs if per_slice else coefs.reshape(1, 4), x2d, disp2d)
     return out.reshape(D, H, OW)
 
 
@@ -898,14 +912,28 @@ def hat_pass_pair(
     1.0, so the within-block position spread is lane-count independent and
     the kernel can cover the whole output row in ONE wide lane block —
     fewer grid steps, one window-staging roll ladder instead of OW/128.
-    Bit-identical output (tap weights are invariant to the window base)."""
+    Bit-identical output (tap weights are invariant to the window base).
+
+    ``coefs`` may also be a PER-SLICE (D, 4) table: block r of rows reads
+    row ``r*BLOCK_ROWS//H`` of the table (blocks never straddle slices —
+    ``H % BLOCK_ROWS == 0``). A per-slice AFFINE position map (the
+    scanner's dv/du deviations) then needs NO materialized displacement
+    volume at all — the kernel body is unchanged, only the coefficient
+    BlockSpec index_map differs."""
     D, H, W = shape
     OW = W if out_len is None else out_len
     R = D * H
-    coefs_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+    per_slice = isinstance(coefs, jnp.ndarray) and getattr(coefs, "ndim", 1) == 2
+    coefs_arr = (
+        coefs.astype(jnp.float32)
+        if per_slice
+        else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
+    )
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
-    if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan):
+    if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
+        per_slice and H % BLOCK_ROWS != 0
+    ):
         a = hat_pass(va, coefs, disp, shape, maxspan, modes[0], out_len=out_len)
         b = hat_pass(vb, coefs, disp, shape, maxspan, modes[1], out_len=out_len)
         return a, b
@@ -932,6 +960,12 @@ def hat_pass_pair(
     )
     raw = pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+    rows_per_slice = H // BLOCK_ROWS
+    coef_spec = (
+        pl.BlockSpec((1, 4), lambda r, h: (r // rows_per_slice, 0), memory_space=pltpu.SMEM)
+        if per_slice
+        else pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM)
+    )
     oa, ob = pl.pallas_call(
         kernel,
         out_shape=(
@@ -940,7 +974,7 @@ def hat_pass_pair(
         ),
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM),
+            coef_spec,
             raw,
             raw,
             disp_spec,
@@ -953,7 +987,7 @@ def hat_pass_pair(
             pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(coefs_arr.reshape(1, 4), xa, xb, disp2d)
+    )(coefs_arr if per_slice else coefs_arr.reshape(1, 4), xa, xb, disp2d)
     return oa.reshape(D, H, OW), ob.reshape(D, H, OW)
 
 
