@@ -257,21 +257,25 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
     n_near = jnp.clip(jnp.round((lanes - z0) / gap_vox), 0, ns_grid - 1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cube, ns_grid), 1)
     Nz = (cols == n_near[:, None]).astype(jnp.float32)  # (cube, ns_grid) one-hot
-    # dz is affine per slice (dz = a1*vn + a2*un + a3, _slice_fields), so
-    # dz(n_near(z)) is three tiny one-hot matvecs + a broadcast FMA — no
-    # cube^3 contraction or transpose of the materialized field needed
+    # dz is affine per slice (dz = a1*vn + a2*un + a3), so dz(n_near(z)) is
+    # three tiny one-hot matvecs feeding the kernel's LANE-AFFINE table form
+    # (disp = A0[z]*row_i + A1[z]*row_j + A2[z], rows = (v, u)) — no cube^3
+    # displacement volume is ever materialized
     a123 = jnp.einsum("zn,nc->zc", Nz, dz["coef"])  # (cube, 3)
-    dz_src = (
-        a123[:, 0] * dz["vn"][:, None, None]  # vn varies along axis 0 (v)
-        + a123[:, 1] * dz["un"][None, :, None]  # un along axis 1 (u)
-        + a123[:, 2]
-    )
+    rs, c_ss = dz["rs"], dz["c_ss"]
+    dz_tab = jnp.stack(
+        [
+            a123[:, 0] * rs,
+            a123[:, 1] * rs,
+            a123[:, 2] - (a123[:, 0] + a123[:, 1]) * rs * c_ss,
+        ]
+    )  # (3, cube)
     from ...ops.linops import _prec
 
     Mzn = interp_matrix(z0 + gap_vox * jnp.arange(ns_grid, dtype=jnp.float32), cube)
     if pair:
         x, m = hat_pass_pair(
-            x, m, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48,
+            x, m, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 48,
             modes=(False, False), unit_slope=True,
         )
         # n-extraction emitting (n, u, v) directly — the relayout rides the
@@ -279,7 +283,7 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
         m = jnp.einsum("oi,jki->okj", Mzn, m, precision=_prec())
     else:
         x = hat_pass(
-            x, (0.0, 0.0, 1.0, 0.0), dz_src, (cube, cube, cube), 48, False,
+            x, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 48, False,
             unit_slope=True,
         )
     x = jnp.einsum("oi,jki->okj", Mzn, x, precision=_prec())  # (n, u, v)
@@ -451,8 +455,8 @@ def _acquire_one(
         "coef": jnp.stack(
             [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap_vox)], -1
         ),
-        "vn": (lanes - c_ss) * rs,
-        "un": (lanes - c_ss) * rs,
+        "rs": rs,
+        "c_ss": c_ss,
     }
 
     slices, mslices = _extract_pair(Wv, Wm, gap_vox, z0, dz, dv_tab, du_tab, cube, ns_grid)
@@ -565,20 +569,19 @@ def _recon_one(
     """
     c_ss = (cube - 1) / 2.0
     lanes = jnp.arange(cube, dtype=jnp.float32)
-    vv_row = (lanes - c_ss)[None, :, None]
-    vv_col = (lanes - c_ss)[None, None, :]
     nidx = jnp.arange(ns_grid, dtype=jnp.float32)
-    base_z = z0 + nidx[:, None, None] * gap_vox
-    # dz needs the full field (it varies per LANE in its pass); dv/du are
-    # per-slice coef tables (sign -1: inverse deviations)
-    vn = vv_row * rs
-    un = vv_col * rs
-    dz_r = (
-        Grec[:, 0, 1][:, None, None] * vn
-        + Grec[:, 0, 2][:, None, None] * un
-        + Grec[:, 0, 3][:, None, None]
-        - base_z
-    )
+    base_z = z0 + nidx * gap_vox
+    # every deviation is affine per slice: dv/du as per-slice coef tables
+    # (sign -1: inverse deviations), dz as the kernel's lane-affine table
+    # (slice index n is the LANE axis of its pass, rows = (u, v))
+    g1, g2, g3 = Grec[:, 0, 1], Grec[:, 0, 2], Grec[:, 0, 3]
+    dzr_tab = jnp.stack(
+        [
+            -g2 * rs / gap_vox,
+            -g1 * rs / gap_vox,
+            (-(g3 - base_z) + (g1 + g2) * rs * c_ss) / gap_vox,
+        ]
+    )  # (3, ns_grid)
     dv_tab, du_tab = _inplane_coef_tables(Grec, rs, c_ss, -1.0)
 
     from ...ops.linops import _prec
@@ -614,7 +617,7 @@ def _recon_one(
         keep_f[None, None, :], (cube, cube, ns_grid)
     ).astype(jnp.float32)
     x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), jnp.transpose(-dz_r / gap_vox, (2, 1, 0)),
+        x, w, (0.0, 0.0, 1.0, 0.0), dzr_tab,
         (cube, cube, ns_grid), 48, modes=(False, False), unit_slope=True,
     )
     # n->z placement and the z-thickness recon PSF act on the same axis in

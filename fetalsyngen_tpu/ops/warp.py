@@ -87,7 +87,7 @@ TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
 
 def _hat_kernel(
     coef_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
-    *, S, H_rows, maxspan, nearest, with_disp, lane_block=128
+    *, S, H_rows, maxspan, nearest, with_disp, lane_block=128, lane_affine=False,
 ):
     """One axis pass over a (BLOCK_ROWS, lane_block) output block.
 
@@ -130,7 +130,12 @@ def _hat_kernel(
 
     pos = ci * row_i + cj * row_j + ck * lanes_f + bias
     if with_disp:
-        pos = pos + disp_ref[:]
+        if lane_affine:
+            # disp_ref is a (3, LB) per-lane affine table (see hat_pass_pair)
+            lt = disp_ref[:]
+            pos = pos + lt[0, :][None, :] * row_i + lt[1, :][None, :] * row_j + lt[2, :][None, :]
+        else:
+            pos = pos + disp_ref[:]
 
     sat_lo = pos <= 0.0
     sat_hi = pos >= S - 1.0
@@ -245,6 +250,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
         if per_slice
         else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     )
+    lane_affine = disp is not None and disp.ndim == 2 and disp.shape[0] == 3
     lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
@@ -261,7 +267,13 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
             + c[:, 2:3] * lanes[None, :]
             + c[:, 3:4]
         )
-        if disp is not None:
+        if lane_affine:
+            pos = pos + (
+                disp[0][None, :] * ri[:, None]
+                + disp[1][None, :] * rj[:, None]
+                + disp[2][None, :]
+            )
+        elif disp is not None:
             pos = pos + disp.reshape(R, OW)
         return _hat_pass_jnp(x2d, pos, nearest).reshape(D, H, OW)
 
@@ -276,13 +288,17 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
         nearest=nearest,
         with_disp=with_disp,
         lane_block=LB,
+        lane_affine=lane_affine,
     )
-    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
-    disp_spec = (
-        pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
-        if with_disp
-        else pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
-    )
+    if lane_affine:
+        disp2d = disp.astype(jnp.float32)
+        disp_spec = pl.BlockSpec((3, LB), lambda r, h: (0, h), memory_space=pltpu.VMEM)
+    elif with_disp:
+        disp2d = disp.reshape(R, OW)
+        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+    else:
+        disp2d = jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
+        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, OW), jnp.float32),
@@ -808,7 +824,8 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
 def _hat_pair_kernel(
     coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, acc_a_ref, acc_b_ref,
     sa_ref, sb_ref,
-    *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128
+    *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128,
+    lane_affine=False,
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -837,7 +854,14 @@ def _hat_pair_kernel(
 
     pos = ci * row_i + cj * row_j + ck * lanes_f + bias
     if with_disp:
-        pos = pos + disp_ref[:]
+        if lane_affine:
+            # disp_ref is a (3, LB) per-lane affine table:
+            # disp = A0[lane]*row_i + A1[lane]*row_j + A2[lane] — computed
+            # in-register instead of reading a materialized volume
+            lt = disp_ref[:]
+            pos = pos + lt[0, :][None, :] * row_i + lt[1, :][None, :] * row_j + lt[2, :][None, :]
+        else:
+            pos = pos + disp_ref[:]
 
     sat_lo = pos <= 0.0
     sat_hi = pos >= S - 1.0
@@ -941,6 +965,7 @@ def hat_pass_pair(
     xa = va.reshape(R, W)
     xb = vb.reshape(R, W)
     with_disp = disp is not None
+    lane_affine = with_disp and disp.ndim == 2 and disp.shape[0] == 3
     LB = lane_block
     _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
@@ -951,13 +976,17 @@ def hat_pass_pair(
         with_disp=with_disp,
         modes=tuple(modes),
         lane_block=LB,
+        lane_affine=lane_affine,
     )
-    disp2d = disp.reshape(R, OW) if with_disp else jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
-    disp_spec = (
-        pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
-        if with_disp
-        else pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
-    )
+    if lane_affine:
+        disp2d = disp.astype(jnp.float32)
+        disp_spec = pl.BlockSpec((3, LB), lambda r, h: (0, h), memory_space=pltpu.VMEM)
+    elif with_disp:
+        disp2d = disp.reshape(R, OW)
+        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+    else:
+        disp2d = jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
+        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     raw = pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
     rows_per_slice = H // BLOCK_ROWS
