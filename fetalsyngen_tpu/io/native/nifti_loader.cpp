@@ -201,4 +201,80 @@ int nifti_load_batch_i32(const char** paths, int n, int32_t* out, int64_t stride
     return rc;
 }
 
+// ---------------------------------------------------------------------------
+// Writer: gzip-compressed NIfTI save with a thread per file. The header is
+// assembled by the Python side (same 352-byte layout `io/nifti.py:save`
+// emits); this side only owns the zlib stream — the host-CPU cost of batch
+// exports (scripts/resample.py, resize_seeds.py write whole cohorts).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SaveTask {
+    const char* path;
+    const char* header;
+    int64_t header_size;
+    const char* data;
+    int64_t data_size;
+    int level;
+    int32_t status;
+};
+
+int save_one(SaveTask* t) {
+    char mode[8];
+    snprintf(mode, sizeof(mode), "wb%d", t->level);
+    gzFile f = gzopen(t->path, mode);
+    if (!f) return 1;
+    gzbuffer(f, 1 << 20);
+    if (gzwrite(f, t->header, (unsigned)t->header_size) != (int)t->header_size) {
+        gzclose(f);
+        return 2;
+    }
+    // write in <=256 MB chunks (gzwrite takes unsigned lengths)
+    int64_t off = 0;
+    while (off < t->data_size) {
+        unsigned chunk = (unsigned)((t->data_size - off) > (1 << 28)
+                                        ? (1 << 28)
+                                        : (t->data_size - off));
+        if (gzwrite(f, t->data + off, chunk) != (int)chunk) {
+            gzclose(f);
+            return 3;
+        }
+        off += chunk;
+    }
+    return gzclose(f) == Z_OK ? 0 : 4;
+}
+
+void* save_worker(void* arg) {
+    SaveTask* t = (SaveTask*)arg;
+    t->status = save_one(t);
+    return nullptr;
+}
+
+}  // namespace
+
+// Save a batch of gzip NIfTI files concurrently (one pthread each; callers
+// chunk to <= 16). Returns the first non-zero status, 0 if all succeeded.
+int nifti_save_batch(const char** paths, const char** headers,
+                     const int64_t* header_sizes, const char** datas,
+                     const int64_t* data_sizes, int n, int level) {
+    if (n <= 0) return 0;
+    SaveTask* tasks = (SaveTask*)calloc((size_t)n, sizeof(SaveTask));
+    pthread_t* threads = (pthread_t*)malloc(sizeof(pthread_t) * (size_t)n);
+    for (int i = 0; i < n; i++) {
+        tasks[i] = SaveTask{paths[i],       headers[i], header_sizes[i],
+                            datas[i],       data_sizes[i],
+                            level,          0};
+        pthread_create(&threads[i], nullptr, save_worker, &tasks[i]);
+    }
+    int rc = 0;
+    for (int i = 0; i < n; i++) {
+        pthread_join(threads[i], nullptr);
+        if (tasks[i].status && !rc) rc = tasks[i].status;
+    }
+    free(threads);
+    free(tasks);
+    return rc;
+}
+
 }  // extern "C"

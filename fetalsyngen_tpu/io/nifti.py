@@ -159,8 +159,8 @@ def load(path: str | Path) -> NiftiImage:
     return NiftiImage(data=np.asarray(data), affine=affine.astype(np.float64))
 
 
-def save(path: str | Path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
-    """Write a ``.nii`` / ``.nii.gz`` volume with an sform affine."""
+def _prep_save(data: np.ndarray, affine: np.ndarray | None):
+    """(normalized data, 352-byte NIfTI-1 header) for :func:`save`."""
     if affine is None:
         affine = np.eye(4)
     data = np.asarray(data)
@@ -185,8 +185,13 @@ def save(path: str | Path, data: np.ndarray, affine: np.ndarray | None = None) -
     srow = np.asarray(affine, dtype=np.float32)[:3, :].reshape(-1)
     struct.pack_into("<12f", hdr, 280, *srow)
     hdr[344:348] = b"n+1\x00"
+    return data, bytes(hdr)
 
-    payload = bytes(hdr) + np.asarray(data, order="F").tobytes(order="F")
+
+def save(path: str | Path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
+    """Write a ``.nii`` / ``.nii.gz`` volume with an sform affine."""
+    data, hdr = _prep_save(data, affine)
+    payload = hdr + np.asarray(data, order="F").tobytes(order="F")
     path = str(path)
     if path.endswith(".gz"):
         with gzip.open(path, "wb", compresslevel=1) as f:
@@ -194,6 +199,35 @@ def save(path: str | Path, data: np.ndarray, affine: np.ndarray | None = None) -
     else:
         with open(path, "wb") as f:
             f.write(payload)
+
+
+def save_batch(
+    paths: list, datas: list, affines: list | None = None, level: int = 1
+) -> None:
+    """Write many ``.nii.gz`` volumes concurrently via the native
+    zlib/pthreads writer (``io/native``); falls back to sequential
+    :func:`save` when the native library is unavailable or any path is a
+    plain ``.nii``. The batch-export counterpart of the batch loader —
+    ``scripts/resample.py`` / ``resize_seeds.py`` write whole cohorts."""
+    from . import native
+
+    affines = affines if affines is not None else [None] * len(paths)
+    spaths = [str(p) for p in paths]
+    if all(p.endswith(".gz") for p in spaths) and native.available():
+        prepped = [_prep_save(d, a) for d, a in zip(datas, affines)]
+        CH = 16  # thread per file, chunked
+        ok = True
+        for i in range(0, len(spaths), CH):
+            ok = ok and native.save_gz_batch(
+                spaths[i : i + CH],
+                [h for _, h in prepped[i : i + CH]],
+                [d for d, _ in prepped[i : i + CH]],
+                level=level,
+            )
+        if ok:
+            return
+    for p, d, a in zip(spaths, datas, affines):
+        save(p, d, a)
 
 
 def io_orientation(affine: np.ndarray) -> np.ndarray:

@@ -16,10 +16,16 @@ def main():
     args = ap.parse_args()
 
     files = sorted(Path(args.path).glob("**/*.nii.gz"))
-    for i, p in enumerate(files):
-        img = nifti.load(p)
-        nifti.save(p, np.asarray(img.data).astype(np.int8), img.affine)
-        print(f"[{i + 1}/{len(files)}] {p}")
+    CH = 16  # batched through the native threaded gzip writer
+    for i0 in range(0, len(files), CH):
+        chunk = files[i0 : i0 + CH]
+        imgs = [nifti.load(p) for p in chunk]
+        nifti.save_batch(
+            chunk,
+            [np.asarray(im.data).astype(np.int8) for im in imgs],
+            [im.affine for im in imgs],
+        )
+        print(f"[{min(i0 + CH, len(files))}/{len(files)}] {chunk[-1]}")
 
 
 if __name__ == "__main__":

@@ -36,3 +36,22 @@ def test_shape_mismatch_returns_none(seed_files):
     if not native.available():
         pytest.skip("native loader unavailable")
     assert native.load_labels_batch(seed_files, (8, 8, 8)) is None
+
+
+def test_save_batch_roundtrip(tmp_path):
+    """Native threaded gzip writer == Python writer semantics (load parity
+    across dtypes and affines); falls back silently when unavailable."""
+    rng = np.random.default_rng(3)
+    affine = np.diag([0.5, 0.5, 0.5, 1.0])
+    affine[:3, 3] = [-7.0, 2.0, 4.5]
+    vols = [
+        rng.random((24, 20, 16)).astype(np.float32),
+        rng.integers(0, 50, (16, 16, 16)).astype(np.int16),
+        rng.integers(0, 4, (12, 18, 10)).astype(np.int8),
+    ]
+    paths = [str(tmp_path / f"v{i}.nii.gz") for i in range(len(vols))]
+    nifti.save_batch(paths, vols, [affine] * len(vols))
+    for p, want in zip(paths, vols):
+        im = nifti.load(p)
+        np.testing.assert_array_equal(im.data, want)
+        np.testing.assert_allclose(im.affine[:3], affine[:3], atol=1e-6)
