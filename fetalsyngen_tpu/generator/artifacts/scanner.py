@@ -307,9 +307,19 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
     return x, m
 
 
-def _slice_artifacts(key, slices, valid, gamma, gamma_on, sigma, void_prob, threshold):
+def _slice_artifacts(
+    key, slices, valid, gamma, gamma_on, sigma, void_prob, threshold, fast=False
+):
     """Per-slice gamma, Rician noise, and signal voids
-    (reference ``simulate_reco.py:210-298``), over the VALID slices."""
+    (reference ``simulate_reco.py:210-298``), over the VALID slices.
+
+    ``fast`` (stream-only, like the coarse-validity mode): draw ONE normal
+    field and take the Rician quadrature partner as a large-offset roll of
+    it — pointwise the two components are still independent N(0, sigma)
+    samples (distinct indices of an iid field), only a long-range noise-field
+    correlation is introduced. Halves the per-stack threefry cost, which is
+    the largest non-matmul item in the acquisition.
+    """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     vmask = valid[:, None, None]
     # gamma (simulate_reco.py:210-234): normalization max over kept slices
@@ -318,7 +328,11 @@ def _slice_artifacts(key, slices, valid, gamma, gamma_on, sigma, void_prob, thre
     slices = jnp.where(gamma_on, g, slices)
     # Rician noise over voxels above threshold (simulate_reco.py:236-256);
     # both components from one threefry call
-    n12 = jax.random.normal(k1, (2,) + slices.shape) * sigma
+    if fast:
+        n1 = jax.random.normal(k1, slices.shape) * sigma
+        n12 = jnp.stack([n1, jnp.roll(n1, (1, slices.shape[1] // 2), (0, 1))])
+    else:
+        n12 = jax.random.normal(k1, (2,) + slices.shape) * sigma
     noisy = jnp.sqrt((slices + n12[0]) ** 2 + n12[1] ** 2)
     slices = jnp.where(slices > threshold, noisy, slices)
     # signal voids (simulate_reco.py:258-298)
@@ -478,7 +492,8 @@ def _acquire_one(
         valid_f = valid.astype(jnp.float32)
 
     slices = _slice_artifacts(
-        key, slices, valid_f, gamma, gamma_on, sigma, void_prob, threshold
+        key, slices, valid_f, gamma, gamma_on, sigma, void_prob, threshold,
+        fast=fast,
     )
     return slices, valid_f
 
@@ -626,8 +641,13 @@ def _recon_one(
     Mn2z = jnp.matmul(
         sigz_m, interp_matrix((lanes - z0) / gap_vox, ns_grid), precision=_prec()
     )
-    x = jnp.einsum("oi,jki->okj", Mn2z, x, precision=_prec())  # (z, v, u)
-    w = jnp.einsum("oi,jki->okj", Mn2z, w, precision=_prec())
+    # Mn2z -> spread -> rigid pair is one matmul-only segment: under the
+    # stream's storage scope it stays bf16 end-to-end (the rigid warp casts
+    # its inputs to the storage dtype itself and emits f32 at its boundary)
+    from ...ops.linops import einsum_store
+
+    x = einsum_store("oi,jki->okj", Mn2z, x)  # (z, v, u)
+    w = einsum_store("oi,jki->okj", Mn2z, w)
 
     def spread(y):
         # in-plane recon PSF (simulate_reco.py:338-344): sinc fused with the

@@ -61,6 +61,57 @@ def _prec() -> lax.Precision:
     return _PREC if _PREC_OVERRIDE is None else _PREC_OVERRIDE
 
 
+_STORE_OVERRIDE = None
+
+
+@contextlib.contextmanager
+def storage_scope(dtype):
+    """TRACE-time INTERMEDIATE-STORAGE dtype override for a code region.
+
+    ``precision_scope`` only changes what the MXU computes — every pass still
+    reads and writes f32 HBM buffers, and the scanner's matmul chains are
+    bandwidth-bound (~0.43 GB per 384^3 f32 touch). Under
+    ``storage_scope(jnp.bfloat16)`` the chain helpers (:func:`axis_mm`,
+    ``warp._shear_pass_pair_mm``, the scanner's Mn2z/spread contractions)
+    keep intermediates in bf16: operands are cast INTO the matmuls (the
+    convert fuses into the dot's operand read) and accumulation stays f32
+    via ``preferred_element_type``, so only the storage narrows — half the
+    HBM traffic on every interior pass. Stage boundaries that feed
+    non-matmul consumers (Pallas hat passes, the recon accumulator) emit
+    f32 through the producing matmul's epilogue (``out_f32=True``).
+
+    STREAM-ONLY, like the precision override: relative error per pass is
+    ~2^-9, the artifact outputs receive Rician noise/gamma afterwards, and
+    the stream is documented non-replay-exact. Host-path programs trace
+    outside the scope and are untouched.
+    """
+    global _STORE_OVERRIDE
+    old = _STORE_OVERRIDE
+    _STORE_OVERRIDE = dtype
+    try:
+        yield
+    finally:
+        _STORE_OVERRIDE = old
+
+
+def _store_dtype():
+    return _STORE_OVERRIDE
+
+
+def einsum_store(spec: str, M: jnp.ndarray, x: jnp.ndarray, out_f32: bool = False):
+    """``jnp.einsum(spec, M, x)`` honoring the storage scope.
+
+    Outside a scope: the framework's f32 contract (``_prec()`` precision).
+    Inside: bf16 x bf16 -> f32-accumulate MXU form, output narrowed back to
+    the storage dtype unless ``out_f32`` marks a segment boundary.
+    """
+    d = _store_dtype()
+    if d is None:
+        return jnp.einsum(spec, M, x, precision=_prec())
+    y = jnp.einsum(spec, M.astype(d), x.astype(d), preferred_element_type=jnp.float32)
+    return y if out_f32 else y.astype(d)
+
+
 def toeplitz_blur_matrix(sigma: jnp.ndarray, size: int, half_len: int) -> jnp.ndarray:
     """(size, size) 'same'-conv Gaussian operator for a traced sigma.
 
@@ -122,13 +173,19 @@ def interp_matrix(
     return W
 
 
-def apply_axis_matrix(vol: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Contract ``vol``'s ``axis`` with operator ``M`` (out, in) on the MXU."""
-    return jnp.einsum(
+def apply_axis_matrix(
+    vol: jnp.ndarray, M: jnp.ndarray, axis: int, out_f32: bool = False
+) -> jnp.ndarray:
+    """Contract ``vol``'s ``axis`` with operator ``M`` (out, in) on the MXU.
+
+    Honors :func:`storage_scope` (bf16 intermediates on the stream path);
+    ``out_f32`` marks a segment boundary whose consumer needs f32.
+    """
+    return einsum_store(
         {0: "oi,ijk->ojk", 1: "oi,jik->jok", 2: "oi,jki->jko"}[axis],
         M,
         vol,
-        precision=_prec(),
+        out_f32=out_f32,
     )
 
 

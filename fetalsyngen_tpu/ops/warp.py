@@ -636,14 +636,13 @@ def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
     xa = jnp.transpose(va, perm)
     J, K = xa.shape[1], xa.shape[2]
     Ms = _shear_matrices(J, K, K, amount, bias, (shape[axis_fix] - 1) / 2.0, modes)
-    from .linops import _prec
+    from .linops import einsum_store
 
-    prec = _prec()
-    oa = jnp.einsum("jks,ijs->ijk", Ms[modes[0]], xa, precision=prec)
+    oa = einsum_store("jks,ijs->ijk", Ms[modes[0]], xa)
     if vb is None:
         return jnp.transpose(oa, inv), None
     xb = jnp.transpose(vb, perm)
-    ob = jnp.einsum("jks,ijs->ijk", Ms[modes[1]], xb, precision=prec)
+    ob = einsum_store("jks,ijs->ijk", Ms[modes[1]], xb)
     return jnp.transpose(oa, inv), jnp.transpose(ob, inv)
 
 
@@ -684,13 +683,16 @@ def warp_rigid_pair_traced(
     the relayout rides the matmul epilogue instead of a separate
     full-volume transpose. Identical values.
     """
-    from .linops import _prec, apply_axis_matrix
+    from .linops import _prec, _store_dtype, apply_axis_matrix, einsum_store
 
     cube = va.shape[0]
     out_shape = tuple(out_shape) if out_shape is not None else va.shape
     cc = (cube - 1) / 2.0
-    a = apply_quarter_turn(va.astype(jnp.float32), q_idx)
-    b = apply_quarter_turn(vb.astype(jnp.float32), q_idx) if vb is not None else None
+    # under a storage scope the quarter-turn relayout already writes the
+    # narrow dtype; the warp's OUTPUTS are always f32 (segment boundary)
+    work_dt = _store_dtype() or jnp.float32
+    a = apply_quarter_turn(va.astype(work_dt), q_idx)
+    b = apply_quarter_turn(vb.astype(work_dt), q_idx) if vb is not None else None
     # Each per-axis rotation [[c,-s],[s,c]] on plane (u, v) factors as
     # diag(1/c, c) @ [[1, -s*c],[0, 1]] @ [[1, 0],[s/c, 1]] — TWO unit
     # shears instead of the Paeth trio's three, with the diagonal deferred.
@@ -721,9 +723,9 @@ def warp_rigid_pair_traced(
         if post_a is not None and post_a[axis] is not None:
             Ma = jnp.matmul(post_a[axis], Ma, precision=_prec())
         if axis == 2 and last_spec is not None:
-            a = jnp.einsum(last_spec, Ma, a, precision=_prec())
+            a = einsum_store(last_spec, Ma, a, out_f32=True)
         else:
-            a = apply_axis_matrix(a, Ma, axis)
+            a = apply_axis_matrix(a, Ma, axis, out_f32=axis == 2)
         if b is not None:
             Mb = (
                 M_raw
@@ -733,10 +735,102 @@ def warp_rigid_pair_traced(
             if post_b is not None and post_b[axis] is not None:
                 Mb = jnp.matmul(post_b[axis], Mb, precision=_prec())
             if axis == 2 and last_spec is not None:
-                b = jnp.einsum(last_spec, Mb, b, precision=_prec())
+                b = einsum_store(last_spec, Mb, b, out_f32=True)
             else:
-                b = apply_axis_matrix(b, Mb, axis)
+                b = apply_axis_matrix(b, Mb, axis, out_f32=axis == 2)
     return a, b
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "out_perm"))
+def warp_rigid_zoom_first(
+    v, q_idx, angles, scale, delta, out_size=None, post=None, out_perm=None
+):
+    """Single-operand rigid warp with the ZOOM FIRST: same map as
+    :func:`warp_rigid_pair_traced` (``out[q] = V[A q + t]`` for
+    rotation-times-isotropic-scale from :func:`decompose_affine_paeth_host`),
+    but the isotropic scale is applied BEFORE the rotation shears.
+
+    Why a second ordering exists: for downsampling maps (``scale > 1``, e.g.
+    the scanner's small-frame acquisition where the stack frame lives in
+    slice-pixel units), zoom-first means every shear runs on the SMALL
+    ``out_size`` buffer instead of the large input cube — and the rotated
+    content provably fits, because the output frame's FOV covers the
+    input's rotated projection by construction (that is the caller's
+    eligibility condition). Interpolation order differs from the zoom-last
+    path, so results match to interpolation-noise (exactly for affine
+    fields), not bitwise.
+
+    Algebra: with ``R_res`` the residual rotation (Euler XYZ of ``angles``)
+    and ``c_in/c_out`` the buffer centers, the zoom-last contract
+    ``out[q] = quarter(V)[R_res(s q + delta - c_in) + c_in]`` re-factors as
+
+        Z[p]   = quarter(V)[s p + d]
+        out[q] = Z[R_res(q - c_out) + c_out]
+        d      = R_res(delta - c_in + s c_out) + c_in - s c_out
+
+    The centered rotation uses the same 6-unit-shear ladder with deferred
+    per-axis diagonals ``C``; since no final zoom follows, the diagonals are
+    applied as three per-axis interp matmuls — into which the caller's
+    ``post`` operators (e.g. the scanner's acquisition PSF) compose for
+    free. ``out_perm=(1, 2, 0)`` folds the final relayout like the pair
+    warp does.
+    """
+    from .linops import _prec, _store_dtype, apply_axis_matrix, einsum_store
+
+    cube = v.shape[0]
+    S = int(out_size) if out_size is not None else cube
+    c_in = (cube - 1) / 2.0
+    c_out = (S - 1) / 2.0
+    work_dt = _store_dtype() or jnp.float32
+    a = apply_quarter_turn(v.astype(work_dt), q_idx)
+
+    # residual rotation matrix Rx(a0) Ry(a1) Rz(a2) (matches the shear
+    # ladder's plane order) — tiny traced trig, device-side
+    def rot_axis(axis, th):
+        u_ax, v_ax = _PLANE[axis]
+        R = jnp.eye(3)
+        c, s = jnp.cos(th), jnp.sin(th)
+        R = R.at[u_ax, u_ax].set(c).at[v_ax, v_ax].set(c)
+        R = R.at[u_ax, v_ax].set(-s).at[v_ax, u_ax].set(s)
+        return R
+
+    R_res = rot_axis(0, angles[0]) @ rot_axis(1, angles[1]) @ rot_axis(2, angles[2])
+    d = R_res @ (delta - c_in + scale * c_out) + c_in - scale * c_out
+
+    # zoom: Z[p] = quarter(V)[scale * p + d], three per-axis matmuls from the
+    # input cube onto the S-sized output frame
+    lanes = jnp.arange(S, dtype=jnp.float32)
+    for axis in range(3):
+        M = _interp_or_nearest_matrix(scale * lanes + d[axis], cube, False)
+        a = apply_axis_matrix(a, M, axis)
+
+    # centered rotation: 6 unit shears with deferred diagonals (see
+    # warp_rigid_pair_traced for the factorization)
+    C = [jnp.float32(1.0)] * 3
+    for axis in range(3):
+        u_ax, v_ax = _PLANE[axis]
+        th = angles[axis]
+        c = jnp.cos(th)
+        s = jnp.sin(th)
+        C[u_ax] = C[u_ax] / c
+        C[v_ax] = C[v_ax] * c
+        amt_u = (-s * c) * C[u_ax] / C[v_ax]
+        amt_v = (s / c) * C[v_ax] / C[u_ax]
+        a, _ = _shear_pass_pair_mm(a, None, u_ax, v_ax, amt_u, 0.0, (False, False))
+        a, _ = _shear_pass_pair_mm(a, None, v_ax, u_ax, amt_v, 0.0, (False, False))
+    # deferred diagonals as per-axis interp matmuls; caller post operators
+    # (PSF blur in the output frame) compose into the same contractions
+    last_spec = {None: None, (1, 2, 0): "oi,jki->koj"}[out_perm]
+    for axis in range(3):
+        coords = C[axis] * (lanes - c_out) + c_out
+        M = _interp_or_nearest_matrix(coords, S, False)
+        if post is not None and post[axis] is not None:
+            M = jnp.matmul(post[axis], M, precision=_prec())
+        if axis == 2 and last_spec is not None:
+            a = einsum_store(last_spec, M, a, out_f32=True)
+        else:
+            a = apply_axis_matrix(a, M, axis, out_f32=axis == 2)
+    return a
 
 
 def warp_affine_separable_pair(

@@ -175,17 +175,20 @@ def _make_batch_fn(cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int)
         outs, segs_o = jax.vmap(synth_one)(keys, subj, u)
 
         if has_quality or has_motion:
-            from ..ops.linops import precision_scope
+            from ..ops.linops import precision_scope, storage_scope
 
             def art_one(args):
                 key, o, sg, row = args
                 ka = jax.random.fold_in(key, 77)
-                # stream-only bf16 matmuls (single-pass MXU): the artifact
+                # stream-only bf16 matmuls (single-pass MXU) AND bf16
+                # intermediate storage (half the HBM traffic on the
+                # bandwidth-bound shear/zoom/spread chains): the artifact
                 # chain's outputs receive Rician noise/gamma/voids anyway
                 # and the stream is documented non-replay-exact — see
-                # linops.precision_scope. ~6x on the scanner's shear/blur/
-                # scale contractions, which dominate the motion engine.
-                with precision_scope(jax.lax.Precision.DEFAULT):
+                # linops.precision_scope / linops.storage_scope.
+                with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
+                    jnp.bfloat16
+                ):
                     if has_quality:
                         o = apply_pre_motion(ka, o, sg, qa)
                     if has_motion:

@@ -194,6 +194,39 @@ class TestMotionTraced:
                 band = np.where(ve > 0)[0]
                 assert np.array_equal(ve[band[1]:band[-1]], vc[band[1]:band[-1]])
 
+    def test_storage_scope_bf16_close_to_f32(self, vols):
+        """The stream's bf16 intermediate-storage mode (linops.storage_scope)
+        must track the f32 chain to interpolation-noise level: same keys ->
+        same draws, so ALL disagreement is bf16 rounding in the matmul
+        segments."""
+        from scipy.ndimage import gaussian_filter
+
+        from fetalsyngen_tpu.ops.linops import precision_scope, storage_scope
+
+        _, seg = vols
+        segn = np.asarray(seg)
+        out = jnp.asarray(
+            gaussian_filter(
+                (segn > 0).astype(np.float32) * 100 + (segn > 2) * 80, 1.5
+            ).astype(np.float32)
+        )
+        sm = _tiny_motion(prob=1.0)
+        pack = jax.tree.map(
+            jnp.asarray,
+            ba.pack_motion(np.random.default_rng(7), 1, SHAPE, 0.5, sm, 64, 32),
+        )
+        row = jax.tree.map(lambda a: a[0], pack)
+        k = jax.random.PRNGKey(9)
+        ref = np.asarray(ba.motion_t(k, out, seg, row, sm, SHAPE, 64, 32))
+        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+            got = np.asarray(ba.motion_t(k, out, seg, row, sm, SHAPE, 64, 32))
+        assert got.dtype == np.float32  # boundaries stay f32
+        denom = np.linalg.norm(ref) + 1e-6
+        rel = np.linalg.norm(got - ref) / denom
+        assert rel < 2e-2, rel
+        c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert c > 0.999, c
+
     def test_motion_off_is_identity(self, vols):
         out, seg = vols
         sm = _tiny_motion(prob=0.0)
