@@ -55,11 +55,16 @@ from .quality import (
     masked_random_centers,
 )
 from .scanner import (
+    _BLUR_HALF,
     _acquire_one,
     _coarse_mask,
+    _extract_pair,
     _finalize_traced,
+    _inplane_coef_tables,
     _pad_centered,
     _recon_one,
+    _slice_artifacts,
+    _valid_coarse,
 )
 
 MAX_HALO_RADIUS = 14  # randint(5, 15) upper bound (artifacts.py:499)
@@ -340,6 +345,54 @@ class QualityArtifacts:
 # ---------------------------------------------------------------------------
 
 
+def _acquire_one_small(
+    vol_p, q_idx, angles, wscale, wdelta, G, gap_px, z0, sig_px,
+    thr_frac, ns_count, key, gamma, gamma_on, sigma, void_prob, threshold,
+    S: int, ns_grid: int, coarse_mask,
+):
+    """One stack's acquisition in the SMALL isotropic slice-pixel frame.
+
+    Stream-only fast path for samples whose drawn ``res_slice`` makes the
+    slice FOV fit a ``S``-cube in px units (``rs * S >= diag``, ~half of
+    default draws): the whole stack frame lives in ISOTROPIC px units on an
+    ``S`` buffer, so every pass runs at ~(S/cube)^3 the cost of the big
+    frame. The rigid warp uses the zoom-FIRST ordering
+    (:func:`ops.warp.warp_rigid_zoom_first`) — content shrinks by ``rs``
+    before the rotation shears, so nothing clips — and the acquisition PSF
+    (z thickness + in-plane sinc, both in px here) composes into the warp's
+    final diagonal contractions. Downstream (extract / artifacts / coarse
+    validity / recon) reuses the shared helpers with ``rs = 1`` px params.
+    """
+    from ...ops.linops import toeplitz_blur_matrix
+    from ...ops.warp import warp_rigid_zoom_first
+
+    c_s = (S - 1) / 2.0
+    post = tuple(toeplitz_blur_matrix(sig_px[i], S, _BLUR_HALF) for i in range(3))
+    Wv = warp_rigid_zoom_first(
+        vol_p, q_idx, angles, wscale, wdelta, out_size=S, post=post,
+        out_perm=(1, 2, 0),
+    )
+    nidx = jnp.arange(ns_grid, dtype=jnp.float32)
+    dv_tab, du_tab = _inplane_coef_tables(G, 1.0, c_s, 1.0)
+    dz = {
+        "coef": jnp.stack(
+            [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap_px)], -1
+        ),
+        "rs": 1.0,
+        "c_ss": c_s,
+    }
+    slices, _ = _extract_pair(Wv, None, gap_px, z0, dz, dv_tab, du_tab, S, ns_grid)
+    valid_f = _valid_coarse(
+        coarse_mask, q_idx, angles, wscale, wdelta, G, thr_frac, ns_count,
+        S, ns_grid, zoom_first=True,
+    )
+    slices = _slice_artifacts(
+        key, slices, valid_f, gamma, gamma_on, sigma, void_prob, threshold,
+        fast=True,
+    )
+    return slices, valid_f
+
+
 def _identity_stack_row(ns_grid: int):
     """Inert per-stack geometry for motion-OFF samples / padding."""
     eye = np.eye(3, 4, dtype=np.float32)[None].repeat(ns_grid, 0)
@@ -352,7 +405,10 @@ def _identity_stack_row(ns_grid: int):
     )
 
 
-def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> dict:
+def pack_motion(
+    rng, B: int, shape, res: float, sm, cube: int, ns_grid: int,
+    small_cube: int | None = None,
+) -> dict:
     """Host geometry for one batch of the traced motion engine.
 
     Mirrors ``Scanner.scan``'s host work (``scanner.py``: init transforms,
@@ -366,6 +422,13 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
     ``res_slice`` draws below what the single static tier covers are clamped
     to ``diag/cube * res`` (documented stream deviation; the host path serves
     the full range via per-scan tiers).
+
+    ``small_cube``: when set, samples whose slice FOV fits a ``small_cube``
+    buffer in px units (``rs * small_cube >= diag``) pack their geometry in
+    the ISOTROPIC px frame (``fs = rs``) — gap/z0/sig and all affine tables
+    in px — and set ``row["small"]`` so :func:`motion_t` routes them through
+    the small-frame engine. Frame-unit row values are mode-dependent; the
+    schema is identical for both modes.
     """
     from .scanner import (
         GAUSSIAN_FWHM,
@@ -398,6 +461,7 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
             for k, v in st.items():
                 rows[k].append([v] * Kb)
             rows["motion_on"].append(False)
+            rows["small"].append(False)
             rows["rs"].append(1.0)
             rows["gap_vox"].append(1.0)
             rows["z0"].append(0.0)
@@ -426,14 +490,28 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
         rs = res_s / res
         gap_vox = gap / res
         ns = min(int(max(shape) * res / gap) + 2, ns_grid)
-        z0 = (cube - 1) / 2.0 - (ns - 1) / 2.0 * gap_vox
+        # small-frame eligibility: the in-plane slice FOV (diag voxels) and
+        # the z slice span must both fit the small buffer in px units
+        small = bool(
+            small_cube is not None
+            and small_cube < cube
+            and rs * small_cube >= diag
+            and (ns - 1) * gap_vox / rs <= small_cube - 12
+            and max(shape) <= small_cube
+        )
+        cube_s = small_cube if small else cube
+        fs = rs if small else 1.0  # frame unit in voxels (px frame <=> fs=rs)
+        gap_u = gap_vox / fs
+        z0 = (cube_s - 1) / 2.0 - (ns - 1) / 2.0 * gap_u
         num_stacks = int(rng.integers(sp.min_num_stack, sp.max_num_stack + 1))
-        # res_recon pinned to res (reference SimulateMotion, artifacts.py:402)
+        # res_recon pinned to res (reference SimulateMotion, artifacts.py:402);
+        # sigmas in frame units (voxels big / px small)
         sig = np.array(
-            [GAUSSIAN_FWHM * s_thick / res, SINC_FWHM * rs, SINC_FWHM * rs], np.float32
+            [GAUSSIAN_FWHM * s_thick / res / fs, SINC_FWHM * rs / fs,
+             SINC_FWHM * rs / fs], np.float32
         )
         sig_rec = np.array(
-            [GAUSSIAN_FWHM * s_thick / res, SINC_FWHM * rs], np.float32
+            [GAUSSIAN_FWHM * s_thick / res / fs, SINC_FWHM * rs / fs], np.float32
         )
 
         per_stack: dict[str, list] = collections.defaultdict(list)
@@ -449,7 +527,8 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
             mats_vox = t_target.matrix(True).copy()
             mats_vox[:, :, 3] /= res
             geo = _stack_geometry(
-                t_init.matrix(True)[0, :, :3], mats_vox, shape, ns, cube, ns_grid
+                t_init.matrix(True)[0, :, :3], mats_vox, shape, ns, cube_s,
+                ns_grid, fs=fs,
             )
             gamma_on = rng.random() < sp.prob_gamma
             gamma = float(np.exp(sp.gamma_std * rng.standard_normal()))
@@ -475,18 +554,35 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
                     ).astype(np.float32)
                 )
                 mats_rec[:ns] = off.compose(RigidTransform(mats_rec[:ns])).matrix(True)
-            Grec = _slice_affine_table(
-                mats_rec, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
-            )
+            if small:
+                Grec = _slice_affine_table(
+                    mats_rec, geo["Minv"], c_vol, c_vol, ns, ns_grid, fs=fs,
+                    c_frame=(cube_s - 1) / 2.0,
+                )
+            else:
+                Grec = _slice_affine_table(
+                    mats_rec, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
+                )
             mats_reset = reset_transform(t_init).matrix(True).copy()
             mats_reset[:, :, 3] /= res
-            Greset = _slice_affine_table(
-                mats_reset, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
-            )
-            # inverse stack->recon map (res_recon == res: scale 1, same grid)
-            qinv, iang, iscl, idlt = decompose_affine_paeth_host(
-                geo["Minv"], -geo["Minv"] @ geo["t_stack"], cube
-            )
+            if small:
+                Greset = _slice_affine_table(
+                    mats_reset, geo["Minv"], c_vol, c_vol, ns, ns_grid, fs=fs,
+                    c_frame=(cube_s - 1) / 2.0,
+                )
+                # inverse px-frame -> recon map: isotropic scale 1/fs
+                c_sv = np.full(3, (cube_s - 1) / 2.0)
+                qinv, iang, iscl, idlt = decompose_affine_paeth_host(
+                    geo["Minv"] / fs, c_sv - geo["Minv"] @ c_vol / fs, cube_s
+                )
+            else:
+                Greset = _slice_affine_table(
+                    mats_reset, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
+                )
+                # inverse stack->recon map (res_recon == res: scale 1, same grid)
+                qinv, iang, iscl, idlt = decompose_affine_paeth_host(
+                    geo["Minv"], -geo["Minv"] @ geo["t_stack"], cube
+                )
             qi, ang, ws, wd = geo["fwd"]
             for name, val in (
                 ("q_idx", qi), ("angles", ang), ("wscale", ws), ("wdelta", wd),
@@ -499,8 +595,9 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
             rows[k].append(v)
 
         rows["motion_on"].append(True)
+        rows["small"].append(small)
         rows["rs"].append(rs)
-        rows["gap_vox"].append(gap_vox)
+        rows["gap_vox"].append(gap_u)
         rows["z0"].append(z0)
         rows["ns"].append(ns)
         rows["num_stacks"].append(num_stacks)
@@ -531,7 +628,7 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
 
     out = {}
     int_keys = {"q_idx", "qinv", "ns", "num_stacks", "mis_idx", "ngauss", "mres_idx", "octave"}
-    bool_keys = {"motion_on", "smooth_on", "merge_on", "rm_on", "mis_on"}
+    bool_keys = {"motion_on", "small", "smooth_on", "merge_on", "rm_on", "mis_on"}
     for k, v in rows.items():
         arr = np.asarray(v)
         if k in int_keys:
@@ -544,7 +641,8 @@ def pack_motion(rng, B: int, shape, res: float, sm, cube: int, ns_grid: int) -> 
     return out
 
 
-def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
+def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int,
+             small_cube: int | None = None):
     """Traced SimulateMotion for ONE sample from packed host geometry.
 
     A single ``lax.scan`` over ``Kb`` attempt stacks fuses acquisition,
@@ -553,6 +651,11 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
     stack's slices live at a time (never the full (Kb, NS, SS, SS) block).
     Stacks beyond the accepted count skip their compute via ``lax.cond``
     (the scan is sequential, so the cond actually saves the work).
+
+    ``small_cube``: enables the SMALL px-frame engine — samples packed with
+    ``row["small"]`` route through :func:`_acquire_one_small` and a px-unit
+    :func:`_recon_one` on a ``small_cube`` buffer (~(small/cube)^3 the
+    cost); both frame variants compile once under one ``lax.cond``.
 
     Stream deviations vs the host path (documented in the module docstring):
     zero-valid stacks drop instead of redrawing; ``rm_slices`` is per-slice
@@ -564,7 +667,7 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
     mp = rp.merge_params
     max_slices = float(sp.max_num_slices)
 
-    def run(out):
+    def run(out, cube, small):
         vol_p = _pad_centered(out, cube)
         # coarse-validity mode: the full-res mask never enters the per-stack
         # chains (see _acquire_one/_valid_coarse) — one pooled copy per
@@ -580,13 +683,23 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
             def do(args):
                 v_acc, w_acc = args
                 skey = jax.random.fold_in(key, 100 + k)
-                slices, valid = _acquire_one(
-                    vol_p, None, st["q_idx"], st["angles"], st["wscale"],
-                    st["wdelta"], st["G"], row["rs"], row["gap_vox"], row["z0"],
-                    row["sig"], st["scal"][0], row["ns"], skey, st["scal"][1],
-                    st["scal"][2] > 0.5, st["scal"][3], sp.prob_void,
-                    sp.slice_noise_threshold, cube, ns_grid, coarse_mask=cmask,
-                )
+                if small:
+                    slices, valid = _acquire_one_small(
+                        vol_p, st["q_idx"], st["angles"], st["wscale"],
+                        st["wdelta"], st["G"], row["gap_vox"], row["z0"],
+                        row["sig"], st["scal"][0], row["ns"], skey,
+                        st["scal"][1], st["scal"][2] > 0.5, st["scal"][3],
+                        sp.prob_void, sp.slice_noise_threshold, cube, ns_grid,
+                        cmask,
+                    )
+                else:
+                    slices, valid = _acquire_one(
+                        vol_p, None, st["q_idx"], st["angles"], st["wscale"],
+                        st["wdelta"], st["G"], row["rs"], row["gap_vox"], row["z0"],
+                        row["sig"], st["scal"][0], row["ns"], skey, st["scal"][1],
+                        st["scal"][2] > 0.5, st["scal"][3], sp.prob_void,
+                        sp.slice_noise_threshold, cube, ns_grid, coarse_mask=cmask,
+                    )
                 nv = jnp.sum(valid)
                 overflow = (nv > 0) & (total + nv >= max_slices)
                 ok = (nv > 0) & (~overflow)
@@ -600,8 +713,9 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
                     & ((sidx == row["mis_idx"] % ns_grid) & (valid > 0))
                 )
                 grec = jnp.where(hit[:, None, None], st["Greset"], st["Grec"])
+                rs_u = jnp.float32(1.0) if small else row["rs"]
                 v_s, w_s = _recon_one(
-                    slices, jnp.where(ok, keep, 0.0), grec, row["rs"],
+                    slices, jnp.where(ok, keep, 0.0), grec, rs_u,
                     row["gap_vox"], row["z0"], row["sig_rec"], st["qinv"],
                     st["iang"], st["iscl"], st["idlt"], cube, ns_grid, shape,
                 )
@@ -661,7 +775,17 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int):
         # (the host path redraws; one inert draw is the stream's equivalent)
         return jnp.where(count > 0, recon, out)
 
-    return lax.cond(row["motion_on"], run, lambda o: o, out)
+    def on(o):
+        if small_cube is None or small_cube >= cube:
+            return run(o, cube, False)
+        return lax.cond(
+            row["small"],
+            lambda x: run(x, small_cube, True),
+            lambda x: run(x, cube, False),
+            o,
+        )
+
+    return lax.cond(row["motion_on"], on, lambda o: o, out)
 
 
 def apply_pre_motion(key, out, seg, qa: QualityArtifacts):

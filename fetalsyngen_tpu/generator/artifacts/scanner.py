@@ -371,7 +371,7 @@ def _coarse_mask(mask_p: jnp.ndarray, f: int = 4) -> jnp.ndarray:
 
 def _valid_coarse(
     cmask, q_idx, angles, wscale, wdelta, G, thr_frac, ns_count,
-    cube: int, ns_grid: int, f: int = 4,
+    cube: int, ns_grid: int, f: int = 4, zoom_first: bool = False,
 ):
     """Slice-validity flags from a coarse warped mask z-profile.
 
@@ -387,9 +387,17 @@ def _valid_coarse(
     band-edge slice whose mass sits at the threshold.
     """
     delta_c = (wdelta + ((f - 1) / 2.0) * (wscale - 1.0)) / f
-    wm, _ = warp_rigid_pair_traced(
-        cmask, None, q_idx, angles, wscale, delta_c, modes=(False, False)
-    )
+    if zoom_first:
+        # small-frame mode (wscale = rs > 1): the zoom-last path's shears
+        # would clip the rotated coarse mask inside the small coarse buffer;
+        # the zoom-first ordering shrinks content before rotating
+        from ...ops.warp import warp_rigid_zoom_first
+
+        wm = warp_rigid_zoom_first(cmask, q_idx, angles, wscale, delta_c)
+    else:
+        wm, _ = warp_rigid_pair_traced(
+            cmask, None, q_idx, angles, wscale, delta_c, modes=(False, False)
+        )
     prof = jnp.sum(wm, (1, 2))  # (cube/f,) z mass profile
     pos_c = (G[:, 0, 3] - (f - 1) / 2.0) / f
     Mz = interp_matrix(pos_c, cube // f)  # (ns_grid, cube/f)
@@ -759,30 +767,49 @@ def _axis_affine(R_xyz: np.ndarray, t_xyz: np.ndarray, in_center, out_center):
     return M.astype(np.float32), t.astype(np.float32)
 
 
-def _stack_geometry(Rb, mats_vox, shape, ns, cube, ns_grid):
+def _stack_geometry(Rb, mats_vox, shape, ns, cube, ns_grid, fs: float = 1.0):
     """Host geometry for one stack: frame map, traced-warp split, slice table.
 
     ``Rb``: the stack-init rotation (xyz space); ``mats_vox``: per-slice
     trans-first rigids with voxel-unit translations.
+
+    ``fs != 1`` (stream small-frame mode): the stack frame's units are
+    ``fs`` voxels (slice px) on a ``cube`` buffer — the forward map gains
+    an isotropic scale ``fs`` and the slice table's translations rescale
+    (the ``fs == 1`` branch is bit-identical to the original path, which
+    the host goldens pin).
     """
     c_vol = (np.asarray(shape) - 1) / 2.0
     c_stack = np.full(3, (cube - 1) / 2.0)
     M = _FLIP @ Rb @ _FLIP
-    t_stack = c_vol - M @ c_stack
-    # fwd map on the zero-PADDED cube: p_pad = M q + t_stack + off
+    A = fs * M if fs != 1.0 else M
+    t_stack = c_vol - A @ c_stack
+    # fwd map on the zero-PADDED cube: p_pad = A q + t_stack + off
     off = np.array([(cube - s) // 2 for s in shape], np.float64)
-    fwd = decompose_affine_paeth_host(M, t_stack + off, cube)
+    fwd = decompose_affine_paeth_host(A, t_stack + off, cube)
     Minv_np = np.linalg.inv(M)
-    G = _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid)
+    if fs == 1.0:
+        G = _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid)
+    else:
+        G = _slice_affine_table(
+            mats_vox, Minv_np, c_vol, c_vol, ns, ns_grid, fs=fs,
+            c_frame=(cube - 1) / 2.0,
+        )
     return dict(M=M, t_stack=t_stack, Minv=Minv_np, G=G, fwd=fwd)
 
 
-def _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid):
+def _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid, fs=1.0, c_frame=0.0):
     """(ns_grid, 3, 4) axis-space affines: slice-local coords -> stack frame.
 
     Vectorized over the slice axis (one einsum batch instead of ``ns_grid``
     small host matmuls — the batched stream packer builds B*Kb of these
     tables per batch, so the loop form was a host hot spot).
+
+    ``fs``/``c_frame`` (stream small-frame mode): emit the translation
+    column in a stack frame whose units are ``fs`` voxels about center
+    ``c_frame`` (pass ``t_stack = c_vol``) — the linear block is
+    dimensionless and identical in both conventions, so only the
+    translation rescales: ``t_px = Minv(ta - c_vol)/fs + c_frame``.
     """
     idx = np.minimum(np.arange(ns_grid), ns - 1)
     Rn = mats_vox[idx, :, :3].astype(np.float64)  # (NS, 3, 3)
@@ -792,7 +819,7 @@ def _slice_affine_table(mats_vox, Minv_np, t_stack, c_vol, ns, ns_grid):
     ta = c_vol + np.einsum("ij,njk,nk->ni", _FLIP.astype(np.float64), Rn, tn)
     G = np.empty((ns_grid, 3, 4), np.float32)
     G[:, :, :3] = np.einsum("ij,njk->nik", Minv_np, Ma)
-    G[:, :, 3] = np.einsum("ij,nj->ni", Minv_np, ta - t_stack)
+    G[:, :, 3] = np.einsum("ij,nj->ni", Minv_np, ta - t_stack) / fs + c_frame
     return G
 
 

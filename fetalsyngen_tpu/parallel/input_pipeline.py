@@ -132,7 +132,10 @@ def _gen_batch(sub, bank, seg, lo, hi, B, cfg):
     return jax.vmap(one)(keys, choices)
 
 
-def _make_batch_fn(cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int):
+def _make_batch_fn(
+    cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int,
+    small_cube: int | None = None,
+):
     """Build the fused per-batch program: seed composition from a multi-
     subject bank, the batched synth pipeline, and (when configured) the FULL
     SR-artifact chain — blur_cortex -> struct_noise -> simulate_motion ->
@@ -193,7 +196,8 @@ def _make_batch_fn(cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int)
                         o = apply_pre_motion(ka, o, sg, qa)
                     if has_motion:
                         o = motion_t(
-                            jax.random.fold_in(ka, 303), o, sg, row, sm, shape, cube, ns_grid
+                            jax.random.fold_in(ka, 303), o, sg, row, sm, shape,
+                            cube, ns_grid, small_cube=small_cube,
                         )
                     if has_quality:
                         o = apply_post_motion(ka, o, sg, qa)
@@ -240,6 +244,7 @@ class SyntheticStream:
         mix_subjects: int = 2,
         cube: int | None = None,
         ns_grid: int | None = None,
+        small_tier: bool = True,
     ):
         self.dataset = dataset
         self.cfg: GeneratorCfg = dataset.generator.cfg
@@ -271,6 +276,11 @@ class SyntheticStream:
             ns_grid if ns_grid is not None else getattr(self._sm, "ns_grid", 128)
         )
         self._shape = shape
+        # small px-frame tier: the smallest 128-multiple buffer holding the
+        # volume; samples whose res_slice draw covers the FOV at that size
+        # run the motion engine there (~(small/cube)^3 the cost)
+        sc = ((max(shape) + 127) // 128) * 128
+        self.small_cube = sc if (small_tier and sc < self.cube) else None
         self.mix_subjects = max(1, min(int(mix_subjects), len(self._names)))
         self._resident: list[str] = []
         self._mega = None
@@ -325,7 +335,8 @@ class SyntheticStream:
         lo = max(self.cfg.intensity.min_subclusters - 1, 0)
         if self._batch_fn is None:
             self._batch_fn = _make_batch_fn(
-                self.cfg, self._shape, self._qa, self._sm, self.cube, self.ns_grid, B, lo
+                self.cfg, self._shape, self._qa, self._sm, self.cube,
+                self.ns_grid, B, lo, small_cube=self.small_cube,
             )
 
         self._key, sub = jax.random.split(self._key)
@@ -334,7 +345,7 @@ class SyntheticStream:
 
             pack = pack_motion(
                 self._rng, B, self._shape, float(self.cfg.resolution[0]),
-                self._sm, self.cube, self.ns_grid,
+                self._sm, self.cube, self.ns_grid, small_cube=self.small_cube,
             )
             pack = jax.tree.map(jnp.asarray, pack)
         else:

@@ -227,6 +227,48 @@ class TestMotionTraced:
         c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
         assert c > 0.999, c
 
+    def test_small_frame_matches_big(self, vols):
+        """The small px-frame engine (pack small_cube + motion_t small branch)
+        must produce the same scan as the big voxel-frame engine for an
+        eligible sample: identical host draws (packing is draw-for-draw the
+        same), slice noise/gamma/voids off in the tiny config, so all
+        disagreement is interpolation order + band-edge validity."""
+        from scipy.ndimage import gaussian_filter
+
+        _, seg = vols
+        segn = np.asarray(seg)
+        out = jnp.asarray(
+            gaussian_filter(
+                (segn > 0).astype(np.float32) * 100 + (segn > 2) * 80, 1.5
+            ).astype(np.float32)
+        )
+        sm = _tiny_motion(prob=1.0)
+        B, cube, small, nsg = 6, 96, 64, 32
+        pack_b = ba.pack_motion(np.random.default_rng(11), B, SHAPE, 0.5, sm, cube, nsg)
+        pack_s = ba.pack_motion(
+            np.random.default_rng(11), B, SHAPE, 0.5, sm, cube, nsg, small_cube=small
+        )
+        assert not pack_b["small"].any()
+        assert pack_s["small"].any() and not pack_s["small"].all()
+        # identical host draw sequence: big-mode rows agree across packs
+        big_rows = ~pack_s["small"]
+        np.testing.assert_allclose(
+            pack_s["gap_vox"][big_rows], pack_b["gap_vox"][big_rows], rtol=1e-6
+        )
+        i = int(np.argmax(pack_s["small"]))
+        k = jax.random.PRNGKey(21)
+        row_b = jax.tree.map(lambda a: jnp.asarray(a[i]), pack_b)
+        row_s = jax.tree.map(lambda a: jnp.asarray(a[i]), pack_s)
+        got_b = np.asarray(ba.motion_t(k, out, seg, row_b, sm, SHAPE, cube, nsg))
+        got_s = np.asarray(
+            ba.motion_t(k, out, seg, row_s, sm, SHAPE, cube, nsg, small_cube=small)
+        )
+        ref = np.asarray(out)
+        assert np.isfinite(got_s).all()
+        assert not np.allclose(got_s, ref)  # motion actually ran
+        c = np.corrcoef(got_s.ravel(), got_b.ravel())[0, 1]
+        assert c > 0.98, c
+
     def test_motion_off_is_identity(self, vols):
         out, seg = vols
         sm = _tiny_motion(prob=0.0)
