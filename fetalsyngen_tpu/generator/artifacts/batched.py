@@ -370,7 +370,7 @@ def _acquire_one_small(
     post = tuple(toeplitz_blur_matrix(sig_px[i], S, _BLUR_HALF) for i in range(3))
     Wv = warp_rigid_zoom_first(
         vol_p, q_idx, angles, wscale, wdelta, out_size=S, post=post,
-        out_perm=(1, 2, 0),
+        out_perm=(1, 2, 0), emit_f32=False,
     )
     nidx = jnp.arange(ns_grid, dtype=jnp.float32)
     dv_tab, du_tab = _inplane_coef_tables(G, 1.0, c_s, 1.0)

@@ -272,6 +272,8 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
     )  # (3, cube)
     from ...ops.linops import _prec
 
+    from ...ops.linops import einsum_store
+
     Mzn = interp_matrix(z0 + gap_vox * jnp.arange(ns_grid, dtype=jnp.float32), cube)
     if pair:
         x, m = hat_pass_pair(
@@ -280,13 +282,13 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
         )
         # n-extraction emitting (n, u, v) directly — the relayout rides the
         # matmul epilogue instead of a separate full-volume transpose
-        m = jnp.einsum("oi,jki->okj", Mzn, m, precision=_prec())
+        m = einsum_store("oi,jki->okj", Mzn, m)
     else:
         x = hat_pass(
             x, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 48, False,
             unit_slope=True,
         )
-    x = jnp.einsum("oi,jki->okj", Mzn, x, precision=_prec())  # (n, u, v)
+    x = einsum_store("oi,jki->okj", Mzn, x)  # (n, u, v)
     # dv/du are per-slice AFFINE — coef-table passes, no displacement volume
     if pair:
         x, m = hat_pass_pair(
@@ -461,12 +463,16 @@ def _acquire_one(
     sb1 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[1], cube, _BLUR_HALF), precision=_prec())
     sb2 = jnp.matmul(scale_m, toeplitz_blur_matrix(sig[2], cube, _BLUR_HALF), precision=_prec())
     fast = coarse_mask is not None
+    # emit_f32=False: under the stream's storage scope the warp may hand the
+    # extract chain bf16 (the hat kernels stage bf16 HBM I/O); outside a
+    # scope this is a no-op and the host path stays f32
     Wv, Wm = warp_rigid_pair_traced(
         vol_p, None if fast else mask_p, q_idx, angles, wscale, wdelta,
         modes=(False, False),
         post_a=(toeplitz_blur_matrix(sig[0], cube, _BLUR_HALF), sb1, sb2),
         post_b=None if fast else (None, scale_m, scale_m),
         out_perm=(1, 2, 0),  # emit (v, u, z) for the extract chain
+        emit_f32=False,
     )
 
     nidx = jnp.arange(ns_grid, dtype=jnp.float32)

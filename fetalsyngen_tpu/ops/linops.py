@@ -98,14 +98,27 @@ def _store_dtype():
     return _STORE_OVERRIDE
 
 
-def einsum_store(spec: str, M: jnp.ndarray, x: jnp.ndarray, out_f32: bool = False):
+_UNSET = object()
+
+
+def einsum_store(
+    spec: str, M: jnp.ndarray, x: jnp.ndarray, out_f32: bool = False, store=_UNSET
+):
     """``jnp.einsum(spec, M, x)`` honoring the storage scope.
 
     Outside a scope: the framework's f32 contract (``_prec()`` precision).
     Inside: bf16 x bf16 -> f32-accumulate MXU form, output narrowed back to
     the storage dtype unless ``out_f32`` marks a segment boundary.
+
+    ``store``: explicit storage dtype (or None), for code traced inside a
+    JITTED shared function — the scope global is trace-time state, so a
+    jitted function must take it as a STATIC argument (part of its cache
+    key) and thread it down; otherwise two callers with identical avals but
+    different scopes would collide in the trace cache. Non-jitted helpers
+    traced directly under distinct outer programs may use the default
+    (read the scope at trace time).
     """
-    d = _store_dtype()
+    d = _store_dtype() if store is _UNSET else store
     if d is None:
         return jnp.einsum(spec, M, x, precision=_prec())
     y = jnp.einsum(spec, M.astype(d), x.astype(d), preferred_element_type=jnp.float32)
@@ -174,18 +187,20 @@ def interp_matrix(
 
 
 def apply_axis_matrix(
-    vol: jnp.ndarray, M: jnp.ndarray, axis: int, out_f32: bool = False
+    vol: jnp.ndarray, M: jnp.ndarray, axis: int, out_f32: bool = False, store=_UNSET
 ) -> jnp.ndarray:
     """Contract ``vol``'s ``axis`` with operator ``M`` (out, in) on the MXU.
 
     Honors :func:`storage_scope` (bf16 intermediates on the stream path);
-    ``out_f32`` marks a segment boundary whose consumer needs f32.
+    ``out_f32`` marks a segment boundary whose consumer needs f32. See
+    :func:`einsum_store` for the ``store`` threading rule.
     """
     return einsum_store(
         {0: "oi,ijk->ojk", 1: "oi,jik->jok", 2: "oi,jki->jko"}[axis],
         M,
         vol,
         out_f32=out_f32,
+        store=store,
     )
 
 

@@ -88,6 +88,7 @@ TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
 def _hat_kernel(
     coef_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
     *, S, H_rows, maxspan, nearest, with_disp, lane_block=128, lane_affine=False,
+    io_dtype=jnp.float32,
 ):
     """One axis pass over a (BLOCK_ROWS, lane_block) output block.
 
@@ -118,9 +119,12 @@ def _hat_kernel(
     # stage edge-padded rows once per row block (lane dim iterates fastest)
     @pl.when(h_blk == 0)
     def _stage():
-        s_ref[:, pad : pad + S] = x_ref[:]
-        s_ref[:, :pad] = jnp.broadcast_to(x_ref[:, :1], (B, pad))
-        s_ref[:, pad + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - pad - S))
+        # HBM blocks may be bf16 (stream storage scope); the staged window
+        # and all tap math stay f32 — only the HBM I/O narrows
+        xf = x_ref[:].astype(jnp.float32)
+        s_ref[:, pad : pad + S] = xf
+        s_ref[:, :pad] = jnp.broadcast_to(xf[:, :1], (B, pad))
+        s_ref[:, pad + S :] = jnp.broadcast_to(xf[:, S - 1 : S], (B, width - pad - S))
 
     rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
@@ -203,9 +207,11 @@ def _hat_kernel(
 
     acc = acc_ref[:]
 
-    lo_edge = x_ref[:, 0][:, None]
-    hi_edge = x_ref[:, S - 1][:, None]
-    o_ref[:] = jnp.where(sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc))
+    lo_edge = x_ref[:, 0][:, None].astype(jnp.float32)
+    hi_edge = x_ref[:, S - 1][:, None].astype(jnp.float32)
+    o_ref[:] = jnp.where(sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc)).astype(
+        io_dtype
+    )
 
 
 def _hat_pass_jnp(x2d, pos, nearest):
@@ -219,19 +225,16 @@ def _hat_pass_jnp(x2d, pos, nearest):
         out = jnp.take_along_axis(x2d, idx, axis=1)
     else:
         f = jnp.clip(jnp.floor(c), 0, S - 2)
-        w = (c - f).astype(x2d.dtype)
+        w = (c - f).astype(jnp.float32)  # position precision stays f32
         fi = f.astype(jnp.int32)
-        g0 = jnp.take_along_axis(x2d, fi, axis=1)
-        g1 = jnp.take_along_axis(x2d, fi + 1, axis=1)
-        out = g0 * (1.0 - w) + g1 * w
+        g0 = jnp.take_along_axis(x2d, fi, axis=1).astype(jnp.float32)
+        g1 = jnp.take_along_axis(x2d, fi + 1, axis=1).astype(jnp.float32)
+        out = (g0 * (1.0 - w) + g1 * w).astype(x2d.dtype)
     out = jnp.where(sat_lo, x2d[:, :1], out)
     out = jnp.where(sat_hi, x2d[:, S - 1 :][:, :1], out)
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("shape", "maxspan", "nearest", "out_len", "unit_slope")
-)
 def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False):
     """Resample the LAST axis of ``vol`` (D, H, W) at affine(+disp) positions.
 
@@ -239,11 +242,32 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
     units; edge-clamped interpolation (linear or nearest). ``out_len``
     optionally changes the resampled axis length (output (D, H, out_len)).
     ``unit_slope=True``: see :func:`hat_pass_pair`.
+
+    Honors :func:`linops.storage_scope` (bf16 HBM I/O; tap math stays f32).
+    The scope is read HERE (caller trace time) and threaded into the jitted
+    impl as a static arg — see ``linops.einsum_store`` on why.
     """
+    from .linops import _store_dtype
+
+    return _hat_pass_impl(
+        vol, coefs, disp, shape, maxspan, nearest, out_len=out_len,
+        unit_slope=unit_slope, store=_store_dtype(),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "maxspan", "nearest", "out_len", "unit_slope", "store"),
+)
+def _hat_pass_impl(
+    vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False,
+    store=None,
+):
     D, H, W = shape
     OW = W if out_len is None else out_len
     R = D * H
-    x2d = vol.reshape(R, W)
+    io_dtype = store or jnp.float32
+    x2d = vol.reshape(R, W).astype(io_dtype)
     per_slice = isinstance(coefs, jnp.ndarray) and getattr(coefs, "ndim", 1) == 2
     coefs = (
         coefs.astype(jnp.float32)
@@ -289,6 +313,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
         with_disp=with_disp,
         lane_block=LB,
         lane_affine=lane_affine,
+        io_dtype=io_dtype,
     )
     if lane_affine:
         disp2d = disp.astype(jnp.float32)
@@ -301,7 +326,7 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
         disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R, OW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, OW), io_dtype),
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
             pl.BlockSpec(
@@ -622,7 +647,7 @@ def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None, ou
     return oa, ob
 
 
-def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
+def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes, store=None):
     """Pair shear as a BATCHED MXU MATMUL (one (K,S) operator per axis_fix
     row, shared by both operands): ~10x cheaper than a hat pass at 384^3.
 
@@ -638,11 +663,11 @@ def _shear_pass_pair_mm(va, vb, axis_move, axis_fix, amount, bias, modes):
     Ms = _shear_matrices(J, K, K, amount, bias, (shape[axis_fix] - 1) / 2.0, modes)
     from .linops import einsum_store
 
-    oa = einsum_store("jks,ijs->ijk", Ms[modes[0]], xa)
+    oa = einsum_store("jks,ijs->ijk", Ms[modes[0]], xa, store=store)
     if vb is None:
         return jnp.transpose(oa, inv), None
     xb = jnp.transpose(vb, perm)
-    ob = einsum_store("jks,ijs->ijk", Ms[modes[1]], xb)
+    ob = einsum_store("jks,ijs->ijk", Ms[modes[1]], xb, store=store)
     return jnp.transpose(oa, inv), jnp.transpose(ob, inv)
 
 
@@ -656,10 +681,29 @@ def _interp_or_nearest_matrix(coords, in_size, nearest):
     return (cols == idx[:, None]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "modes", "out_perm"))
 def warp_rigid_pair_traced(
     va, vb, q_idx, angles, scale, delta, out_shape=None, modes=(False, False),
-    post_a=None, post_b=None, out_perm=None,
+    post_a=None, post_b=None, out_perm=None, emit_f32=True,
+):
+    """See :func:`_warp_rigid_pair_impl`; this wrapper reads the storage
+    scope at caller trace time and threads it as a static jit arg.
+    ``emit_f32=False`` lets a scoped caller keep the outputs in the storage
+    dtype (when its consumers, e.g. the hat passes, accept bf16)."""
+    from .linops import _store_dtype
+
+    return _warp_rigid_pair_impl(
+        va, vb, q_idx, angles, scale, delta, out_shape=out_shape, modes=modes,
+        post_a=post_a, post_b=post_b, out_perm=out_perm, emit_f32=emit_f32,
+        store=_store_dtype(),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_shape", "modes", "out_perm", "emit_f32", "store")
+)
+def _warp_rigid_pair_impl(
+    va, vb, q_idx, angles, scale, delta, out_shape=None, modes=(False, False),
+    post_a=None, post_b=None, out_perm=None, emit_f32=True, store=None,
 ):
     """``out[q] = V[A q + t]`` for two CUBE volumes with a fully TRACED
     rotation-times-isotropic-scale map (from
@@ -683,14 +727,15 @@ def warp_rigid_pair_traced(
     the relayout rides the matmul epilogue instead of a separate
     full-volume transpose. Identical values.
     """
-    from .linops import _prec, _store_dtype, apply_axis_matrix, einsum_store
+    from .linops import _prec, apply_axis_matrix, einsum_store
 
     cube = va.shape[0]
     out_shape = tuple(out_shape) if out_shape is not None else va.shape
     cc = (cube - 1) / 2.0
     # under a storage scope the quarter-turn relayout already writes the
-    # narrow dtype; the warp's OUTPUTS are always f32 (segment boundary)
-    work_dt = _store_dtype() or jnp.float32
+    # narrow dtype; outputs are f32 when emit_f32 marks a segment boundary
+    work_dt = store or jnp.float32
+    out32 = emit_f32 or store is None
     a = apply_quarter_turn(va.astype(work_dt), q_idx)
     b = apply_quarter_turn(vb.astype(work_dt), q_idx) if vb is not None else None
     # Each per-axis rotation [[c,-s],[s,c]] on plane (u, v) factors as
@@ -710,8 +755,8 @@ def warp_rigid_pair_traced(
         C[v_ax] = C[v_ax] * c
         amt_u = (-s * c) * C[u_ax] / C[v_ax]
         amt_v = (s / c) * C[v_ax] / C[u_ax]
-        a, b = _shear_pass_pair_mm(a, b, u_ax, v_ax, amt_u, 0.0, modes)
-        a, b = _shear_pass_pair_mm(a, b, v_ax, u_ax, amt_v, 0.0, modes)
+        a, b = _shear_pass_pair_mm(a, b, u_ax, v_ax, amt_u, 0.0, modes, store=store)
+        a, b = _shear_pass_pair_mm(a, b, v_ax, u_ax, amt_v, 0.0, modes, store=store)
     # out_perm folds the final relayout into the last einsum's output order
     last_spec = {None: None, (1, 2, 0): "oi,jki->koj"}[out_perm]
     for axis in range(3):
@@ -723,9 +768,9 @@ def warp_rigid_pair_traced(
         if post_a is not None and post_a[axis] is not None:
             Ma = jnp.matmul(post_a[axis], Ma, precision=_prec())
         if axis == 2 and last_spec is not None:
-            a = einsum_store(last_spec, Ma, a, out_f32=True)
+            a = einsum_store(last_spec, Ma, a, out_f32=out32, store=store)
         else:
-            a = apply_axis_matrix(a, Ma, axis, out_f32=axis == 2)
+            a = apply_axis_matrix(a, Ma, axis, out_f32=out32 and axis == 2, store=store)
         if b is not None:
             Mb = (
                 M_raw
@@ -735,15 +780,32 @@ def warp_rigid_pair_traced(
             if post_b is not None and post_b[axis] is not None:
                 Mb = jnp.matmul(post_b[axis], Mb, precision=_prec())
             if axis == 2 and last_spec is not None:
-                b = einsum_store(last_spec, Mb, b, out_f32=True)
+                b = einsum_store(last_spec, Mb, b, out_f32=out32, store=store)
             else:
-                b = apply_axis_matrix(b, Mb, axis, out_f32=axis == 2)
+                b = apply_axis_matrix(b, Mb, axis, out_f32=out32 and axis == 2, store=store)
     return a, b
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "out_perm"))
 def warp_rigid_zoom_first(
-    v, q_idx, angles, scale, delta, out_size=None, post=None, out_perm=None
+    v, q_idx, angles, scale, delta, out_size=None, post=None, out_perm=None,
+    emit_f32=True,
+):
+    """See :func:`_warp_rigid_zoom_first_impl`; wrapper reads the storage
+    scope at caller trace time (static jit key — see linops.einsum_store)."""
+    from .linops import _store_dtype
+
+    return _warp_rigid_zoom_first_impl(
+        v, q_idx, angles, scale, delta, out_size=out_size, post=post,
+        out_perm=out_perm, emit_f32=emit_f32, store=_store_dtype(),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "out_perm", "emit_f32", "store")
+)
+def _warp_rigid_zoom_first_impl(
+    v, q_idx, angles, scale, delta, out_size=None, post=None, out_perm=None,
+    emit_f32=True, store=None,
 ):
     """Single-operand rigid warp with the ZOOM FIRST: same map as
     :func:`warp_rigid_pair_traced` (``out[q] = V[A q + t]`` for
@@ -775,13 +837,14 @@ def warp_rigid_zoom_first(
     free. ``out_perm=(1, 2, 0)`` folds the final relayout like the pair
     warp does.
     """
-    from .linops import _prec, _store_dtype, apply_axis_matrix, einsum_store
+    from .linops import _prec, apply_axis_matrix, einsum_store
 
     cube = v.shape[0]
     S = int(out_size) if out_size is not None else cube
     c_in = (cube - 1) / 2.0
     c_out = (S - 1) / 2.0
-    work_dt = _store_dtype() or jnp.float32
+    work_dt = store or jnp.float32
+    out32 = emit_f32 or store is None
     a = apply_quarter_turn(v.astype(work_dt), q_idx)
 
     # residual rotation matrix Rx(a0) Ry(a1) Rz(a2) (matches the shear
@@ -802,7 +865,7 @@ def warp_rigid_zoom_first(
     lanes = jnp.arange(S, dtype=jnp.float32)
     for axis in range(3):
         M = _interp_or_nearest_matrix(scale * lanes + d[axis], cube, False)
-        a = apply_axis_matrix(a, M, axis)
+        a = apply_axis_matrix(a, M, axis, store=store)
 
     # centered rotation: 6 unit shears with deferred diagonals (see
     # warp_rigid_pair_traced for the factorization)
@@ -816,8 +879,8 @@ def warp_rigid_zoom_first(
         C[v_ax] = C[v_ax] * c
         amt_u = (-s * c) * C[u_ax] / C[v_ax]
         amt_v = (s / c) * C[v_ax] / C[u_ax]
-        a, _ = _shear_pass_pair_mm(a, None, u_ax, v_ax, amt_u, 0.0, (False, False))
-        a, _ = _shear_pass_pair_mm(a, None, v_ax, u_ax, amt_v, 0.0, (False, False))
+        a, _ = _shear_pass_pair_mm(a, None, u_ax, v_ax, amt_u, 0.0, (False, False), store=store)
+        a, _ = _shear_pass_pair_mm(a, None, v_ax, u_ax, amt_v, 0.0, (False, False), store=store)
     # deferred diagonals as per-axis interp matmuls; caller post operators
     # (PSF blur in the output frame) compose into the same contractions
     last_spec = {None: None, (1, 2, 0): "oi,jki->koj"}[out_perm]
@@ -827,9 +890,9 @@ def warp_rigid_zoom_first(
         if post is not None and post[axis] is not None:
             M = jnp.matmul(post[axis], M, precision=_prec())
         if axis == 2 and last_spec is not None:
-            a = einsum_store(last_spec, M, a, out_f32=True)
+            a = einsum_store(last_spec, M, a, out_f32=out32, store=store)
         else:
-            a = apply_axis_matrix(a, M, axis, out_f32=axis == 2)
+            a = apply_axis_matrix(a, M, axis, out_f32=out32 and axis == 2, store=store)
     return a
 
 
@@ -920,6 +983,7 @@ def _hat_pair_kernel(
     sa_ref, sb_ref,
     *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128,
     lane_affine=False,
+    io_dtype=jnp.float32,
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -937,9 +1001,10 @@ def _hat_pair_kernel(
     @pl.when(h_blk == 0)
     def _stage():
         for x_ref, s_ref in ((xa_ref, sa_ref), (xb_ref, sb_ref)):
-            s_ref[:, pad : pad + S] = x_ref[:]
-            s_ref[:, :pad] = jnp.broadcast_to(x_ref[:, :1], (B, pad))
-            s_ref[:, pad + S :] = jnp.broadcast_to(x_ref[:, S - 1 : S], (B, width - pad - S))
+            xf = x_ref[:].astype(jnp.float32)  # HBM may be bf16; windows f32
+            s_ref[:, pad : pad + S] = xf
+            s_ref[:, :pad] = jnp.broadcast_to(xf[:, :1], (B, pad))
+            s_ref[:, pad + S :] = jnp.broadcast_to(xf[:, S - 1 : S], (B, width - pad - S))
 
     rows = r_blk * B + jax.lax.broadcasted_iota(jnp.int32, (B, LB), 0)
     row_i = (rows // H_rows).astype(jnp.float32)
@@ -1009,18 +1074,37 @@ def _hat_pair_kernel(
     acc_b = acc_b_ref[:]
 
     oa_ref[:] = jnp.where(
-        sat_lo, xa_ref[:, 0][:, None], jnp.where(sat_hi, xa_ref[:, S - 1][:, None], acc_a)
-    )
+        sat_lo,
+        xa_ref[:, 0][:, None].astype(jnp.float32),
+        jnp.where(sat_hi, xa_ref[:, S - 1][:, None].astype(jnp.float32), acc_a),
+    ).astype(io_dtype)
     ob_ref[:] = jnp.where(
-        sat_lo, xb_ref[:, 0][:, None], jnp.where(sat_hi, xb_ref[:, S - 1][:, None], acc_b)
+        sat_lo,
+        xb_ref[:, 0][:, None].astype(jnp.float32),
+        jnp.where(sat_hi, xb_ref[:, S - 1][:, None].astype(jnp.float32), acc_b),
+    ).astype(io_dtype)
+
+
+def hat_pass_pair(
+    va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True), unit_slope=False
+):
+    """See :func:`_hat_pass_pair_impl`; this wrapper reads the storage scope
+    at caller trace time and threads it as a static arg."""
+    from .linops import _store_dtype
+
+    return _hat_pass_pair_impl(
+        va, vb, coefs, disp, shape, maxspan, out_len=out_len, modes=modes,
+        unit_slope=unit_slope, store=_store_dtype(),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "maxspan", "out_len", "modes", "unit_slope")
+    jax.jit,
+    static_argnames=("shape", "maxspan", "out_len", "modes", "unit_slope", "store"),
 )
-def hat_pass_pair(
-    va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True), unit_slope=False
+def _hat_pass_pair_impl(
+    va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True),
+    unit_slope=False, store=None,
 ):
     """One axis pass over TWO volumes sharing positions; per-operand mode
     (False = linear, True = nearest). Default (linear, nearest) serves the
@@ -1041,6 +1125,7 @@ def hat_pass_pair(
     D, H, W = shape
     OW = W if out_len is None else out_len
     R = D * H
+    io_dtype = store or jnp.float32
     per_slice = isinstance(coefs, jnp.ndarray) and getattr(coefs, "ndim", 1) == 2
     coefs_arr = (
         coefs.astype(jnp.float32)
@@ -1052,12 +1137,12 @@ def hat_pass_pair(
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0
     ):
-        a = hat_pass(va, coefs, disp, shape, maxspan, modes[0], out_len=out_len)
-        b = hat_pass(vb, coefs, disp, shape, maxspan, modes[1], out_len=out_len)
+        a = _hat_pass_impl(va, coefs, disp, shape, maxspan, modes[0], out_len=out_len, store=store)
+        b = _hat_pass_impl(vb, coefs, disp, shape, maxspan, modes[1], out_len=out_len, store=store)
         return a, b
 
-    xa = va.reshape(R, W)
-    xb = vb.reshape(R, W)
+    xa = va.reshape(R, W).astype(io_dtype)
+    xb = vb.reshape(R, W).astype(io_dtype)
     with_disp = disp is not None
     lane_affine = with_disp and disp.ndim == 2 and disp.shape[0] == 3
     LB = lane_block
@@ -1071,6 +1156,7 @@ def hat_pass_pair(
         modes=tuple(modes),
         lane_block=LB,
         lane_affine=lane_affine,
+        io_dtype=io_dtype,
     )
     if lane_affine:
         disp2d = disp.astype(jnp.float32)
@@ -1092,8 +1178,8 @@ def hat_pass_pair(
     oa, ob = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((R, OW), jnp.float32),
-            jax.ShapeDtypeStruct((R, OW), jnp.float32),
+            jax.ShapeDtypeStruct((R, OW), io_dtype),
+            jax.ShapeDtypeStruct((R, OW), io_dtype),
         ),
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[

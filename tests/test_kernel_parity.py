@@ -198,3 +198,29 @@ def test_scanner_engine_kernel_matches_fallback_at_production_slopes():
     ]:
         scale = max(np.abs(r).max(), 1.0)
         np.testing.assert_allclose(g, r, atol=2e-4 * scale, err_msg=name)
+
+
+def test_hat_pass_bf16_storage_io():
+    """Under the stream storage scope the kernel takes/emits bf16 HBM blocks
+    while tap math stays f32 — values must track the f32 kernel to bf16
+    rounding (~0.4% rel)."""
+    from fetalsyngen_tpu.ops.linops import storage_scope
+
+    v = _vol(7)
+    disp = _smooth_disp(4.0, seed=8)
+    coefs = (0.6, 0.05, 1.0, 2.0)
+    ref = np.asarray(W.hat_pass(v, coefs, disp, SHAPE, 48, False))
+    with storage_scope(jnp.bfloat16):
+        got = W.hat_pass(v, coefs, disp, SHAPE, 48, False)
+    assert got.dtype == jnp.bfloat16
+    gotf = np.asarray(got).astype(np.float32)
+    np.testing.assert_allclose(gotf, ref, atol=2e-2, rtol=2e-2)
+
+    with storage_scope(jnp.bfloat16):
+        oa, ob = W.hat_pass_pair(
+            v, _vol(9), coefs, disp, SHAPE, 48, modes=(False, False)
+        )
+    assert oa.dtype == jnp.bfloat16 and ob.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(oa).astype(np.float32), ref, atol=2e-2, rtol=2e-2
+    )
