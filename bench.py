@@ -228,16 +228,28 @@ def main():
     seeds = jnp.broadcast_to(jnp.asarray(seeds_np, jnp.int32), (B, *shape))
     segs = jnp.broadcast_to(jnp.asarray(seg_np, jnp.int32), (B, *shape))
 
+    from fetalsyngen_tpu.ops.linops import precision_scope, storage_scope
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def chain(key, seeds, segs, iters):
+        # production generation mode: single-pass bf16 MXU + bf16
+        # intermediate storage (the stream path, input_pipeline._gen_batch,
+        # generates with the same scopes). Replay-faithful host sampling
+        # stays f32; tests/test_pipeline.py pins bf16-vs-f32 quality
+        # (seg voxel-exact, image corr).
+        def core(k, sd, sg):
+            with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
+                jnp.bfloat16
+            ):
+                out, seg, _, _ = _synth_core(
+                    k, sd, sg, jnp.zeros((), jnp.float32), (), cfg, (), False
+                )
+            return out.astype(jnp.float32), seg
+
         def body(i, carry):
             key, acc = carry
             keys = jax.random.split(key, B + 1)
-            out, seg = jax.vmap(
-                lambda k, sd, sg: _synth_core(
-                    k, sd, sg, jnp.zeros((), jnp.float32), (), cfg, (), False
-                )[:2]
-            )(keys[1:], seeds, segs)
+            out, seg = jax.vmap(core)(keys[1:], seeds, segs)
             probe = jnp.mean(out) + jnp.float32(jnp.sum(seg[0, ::64, ::64, ::64])) * 0.0
             return keys[0], acc + probe
 

@@ -132,14 +132,27 @@ def _flip0(vol: jnp.ndarray, flip: jnp.ndarray) -> jnp.ndarray:
 
 
 def _nonlin_field(key: jax.Array, p: GenParams, cfg: GeneratorCfg):
-    """Upsample the low-res displacement field to (3, D, H, W)."""
+    """Upsample the low-res displacement field to (3, D, H, W).
+
+    The field is POSITION data: under the bf16 production scopes a
+    quantized field would jitter every warp coordinate (~0.2% of seg labels
+    flip at deformation-cell boundaries). Positions stay f32 — the scopes
+    are suspended for the 3 upsample chains (trivial traffic next to the
+    image passes), keeping the seg chain voxel-exact vs the f32 contract.
+    """
+    from ..ops.linops import precision_scope, storage_scope
+
     shape = cfg.shape
     smax = cfg.deform.small_field_max()
     f_small = p.nonlin_std * jax.random.normal(
         field_key(key, "field_nonlin"), (3, *smax), jnp.float32
     )
     factor = jnp.asarray(shape, jnp.float32) / p.size_F_small.astype(jnp.float32)
-    return tuple(zoom_mm(f_small[c], shape, factor, in_shape=p.size_F_small) for c in range(3))
+    with precision_scope(None), storage_scope(None):
+        return tuple(
+            zoom_mm(f_small[c], shape, factor, in_shape=p.size_F_small)
+            for c in range(3)
+        )
 
 
 def _deform_separable(
@@ -358,10 +371,6 @@ STAGES_GENERATE = ("intensity", "deform")
 STAGES_AUGMENT = ("augment",)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "override_names", "with_image", "use_seeds", "stages"),
-)
 def _synth_core(
     key: jax.Array,
     seeds: jnp.ndarray,
@@ -373,6 +382,61 @@ def _synth_core(
     with_image: bool,
     use_seeds: bool = True,
     stages: tuple = STAGES_ALL,
+):
+    """Jitted synth core (wrapper). Reads the matmul precision / storage
+    scopes at caller trace time and threads them into the impl as STATIC
+    args — a module-level jit must key its trace cache on the scopes, or a
+    scoped caller (the bf16 stream/bench production mode) and an unscoped
+    one (the replay-faithful f32 host path) with identical avals would
+    collide (see ``linops.einsum_store``)."""
+    from ..ops import linops as _lo
+
+    return _synth_core_impl(
+        key, seeds, segmentation, image, override_values, cfg, override_names,
+        with_image, use_seeds=use_seeds, stages=stages,
+        prec=_lo._PREC_OVERRIDE, store=_lo._store_dtype(),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "override_names", "with_image", "use_seeds", "stages", "prec",
+        "store",
+    ),
+)
+def _synth_core_impl(
+    key: jax.Array,
+    seeds: jnp.ndarray,
+    segmentation: jnp.ndarray,
+    image: jnp.ndarray,
+    override_values: tuple,
+    cfg: GeneratorCfg,
+    override_names: tuple,
+    with_image: bool,
+    use_seeds: bool = True,
+    stages: tuple = STAGES_ALL,
+    prec=None,
+    store=None,
+):
+    import contextlib
+
+    from ..ops.linops import precision_scope, storage_scope
+
+    # re-establish the scopes from the STATIC key so the body's helpers see
+    # them regardless of the global state at this trace
+    with (
+        precision_scope(prec) if prec is not None else contextlib.nullcontext()
+    ), (storage_scope(store) if store is not None else contextlib.nullcontext()):
+        return _synth_core_body(
+            key, seeds, segmentation, image, override_values, cfg,
+            override_names, with_image, use_seeds, stages,
+        )
+
+
+def _synth_core_body(
+    key, seeds, segmentation, image, override_values, cfg, override_names,
+    with_image, use_seeds, stages,
 ):
     overrides = dict(zip(override_names, override_values))
     p = sample_params(key, cfg, overrides)

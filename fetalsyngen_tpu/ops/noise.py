@@ -52,7 +52,6 @@ def _perlin_axis_mats(s: int, r: int) -> tuple[np.ndarray, np.ndarray]:
     return A, Ad
 
 
-@partial(jax.jit, static_argnames=("shape", "res"))
 def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int, int, int]):
     """Tileable 3D Perlin noise (reference ``utils.py:224-327`` semantics).
 
@@ -60,9 +59,20 @@ def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int,
     matmul form (see :func:`_perlin_axis_mats`): three small per-axis
     operators upsample each gradient-component lattice, so the whole field
     costs ~4 full-volume writes instead of the naive 8-corner blend's ~30.
+
+    The matmul precision scope is read HERE (caller trace time) and threaded
+    into the jitted impl as a static arg — a module-level jit must key its
+    trace cache on the scope (see ``linops.einsum_store``).
     """
     from .linops import _prec
 
+    return _perlin_noise_3d_impl(key, shape, res, prec=_prec())
+
+
+@partial(jax.jit, static_argnames=("shape", "res", "prec"))
+def _perlin_noise_3d_impl(
+    key: jax.Array, shape: tuple[int, int, int], res: tuple[int, int, int], prec=None
+):
     k1, k2 = jax.random.split(key)
     theta = 2 * jnp.pi * jax.random.uniform(k1, (res[0], res[1], res[2]))
     phi = 2 * jnp.pi * jax.random.uniform(k2, (res[0], res[1], res[2]))
@@ -73,9 +83,9 @@ def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int,
     mats = [_perlin_axis_mats(shape[d], res[d]) for d in range(3)]
 
     def up(g, M0, M1, M2):
-        t = jnp.einsum("Ia,abc->Ibc", jnp.asarray(M0), g, precision=_prec())
-        t = jnp.einsum("Jb,Ibc->IJc", jnp.asarray(M1), t, precision=_prec())
-        return jnp.einsum("Kc,IJc->IJK", jnp.asarray(M2), t, precision=_prec())
+        t = jnp.einsum("Ia,abc->Ibc", jnp.asarray(M0), g, precision=prec)
+        t = jnp.einsum("Jb,Ibc->IJc", jnp.asarray(M1), t, precision=prec)
+        return jnp.einsum("Kc,IJc->IJK", jnp.asarray(M2), t, precision=prec)
 
     (A0, A0d), (A1, A1d), (A2, A2d) = mats
     return (
@@ -83,7 +93,6 @@ def perlin_noise_3d(key: jax.Array, shape: tuple[int, int, int], res: tuple[int,
     )
 
 
-@partial(jax.jit, static_argnames=("shape", "res", "lacunarity", "max_octaves"))
 def fractal_noise_3d(
     key: jax.Array,
     shape: tuple[int, int, int],
@@ -99,8 +108,31 @@ def fractal_noise_3d(
     ``octaves`` may be TRACED (the randomized draws change per sample) — the
     loop runs ``max_octaves`` (static) times with amplitudes masked, so one
     compiled program serves every octave count instead of recompiling per
-    draw.
+    draw. Precision scope threading: see :func:`perlin_noise_3d`.
     """
+    from .linops import _prec
+
+    return _fractal_noise_3d_impl(
+        key, shape, res, octaves, persistence=persistence, lacunarity=lacunarity,
+        increase=increase, max_octaves=max_octaves, prec=_prec(),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("shape", "res", "lacunarity", "max_octaves", "prec"),
+)
+def _fractal_noise_3d_impl(
+    key: jax.Array,
+    shape: tuple[int, int, int],
+    res: tuple[int, int, int],
+    octaves=1,
+    persistence: float = 0.5,
+    lacunarity: int = 2,
+    increase: float = 0.0,
+    max_octaves: int = 4,
+    prec=None,
+):
     noise = jnp.zeros(shape, jnp.float32)
     frequency = 1
     amplitude = 1.0
@@ -108,10 +140,11 @@ def fractal_noise_3d(
         if any(s % (frequency * r) or frequency * r > s for s, r in zip(shape, res)):
             break  # lattice no longer divides the grid — octave unreachable
         gate = (o < jnp.asarray(octaves)).astype(jnp.float32)
-        noise += gate * amplitude * perlin_noise_3d(
+        noise += gate * amplitude * _perlin_noise_3d_impl(
             jax.random.fold_in(key, o),
             shape,
             tuple(frequency * r for r in res),
+            prec=prec,
         )
         frequency *= lacunarity
         amplitude *= persistence

@@ -116,15 +116,25 @@ class SeedBankCache:
 @partial(jax.jit, static_argnames=("lo", "hi", "B", "cfg"))
 def _gen_batch(sub, bank, seg, lo, hi, B, cfg):
     """One fused device program: draw per-sample keys + subcluster choices,
-    compose seeds from the bank, run the batched pipeline, scale to [0,1]."""
+    compose seeds from the bank, run the batched pipeline, scale to [0,1].
+
+    The synth core runs in the stream's bf16 production mode (single-pass
+    MXU matmuls + bf16 intermediate storage; outputs rescaled in f32) —
+    see ``linops.storage_scope`` and ``tests/test_pipeline.py``'s
+    bf16-vs-f32 quality pin. The replay-faithful dataset path stays f32.
+    """
+    from ..ops.linops import precision_scope, storage_scope
+
     keys = jax.random.split(sub, B)
     choices = jax.random.randint(jax.random.fold_in(sub, 1), (B, 4), lo, hi)
 
     def one(key, ch):
         seeds = compose_seeds(bank, ch)
-        out, seg_o, _, _ = _synth_core(
-            key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
-        )
+        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+            out, seg_o, _, _ = _synth_core(
+                key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
+            )
+        out = out.astype(jnp.float32)
         peak = jnp.max(out)
         out = out / jnp.where(peak > 0, peak, 1.0)
         return out, seg_o
@@ -152,6 +162,8 @@ def _make_batch_fn(
         motion_t,
     )
 
+    from ..ops.linops import precision_scope, storage_scope
+
     has_quality = qa is not None and (
         qa.blur_cortex is not None or qa.struct_noise is not None or qa.boundaries is not None
     )
@@ -170,15 +182,19 @@ def _make_batch_fn(
             picked = flat[sj * n_opt + ch, jnp.arange(4)]
             seeds = picked.astype(jnp.int32).sum(axis=0)
             seg = segs[sj].astype(jnp.int32)
-            out, seg_o, _, _ = _synth_core(
-                key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
-            )
-            return out, seg_o
+            # bf16 production mode (see _gen_batch); f32 out for the
+            # artifact chain's boundaries
+            with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
+                jnp.bfloat16
+            ):
+                out, seg_o, _, _ = _synth_core(
+                    key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
+                )
+            return out.astype(jnp.float32), seg_o
 
         outs, segs_o = jax.vmap(synth_one)(keys, subj, u)
 
         if has_quality or has_motion:
-            from ..ops.linops import precision_scope, storage_scope
 
             def art_one(args):
                 key, o, sg, row = args

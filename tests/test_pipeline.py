@@ -105,6 +105,28 @@ class TestPipeline:
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(sg1), np.asarray(sg2))
 
+    def test_bf16_production_mode_quality(self, data):
+        """The stream/bench bf16 generation mode (precision DEFAULT + bf16
+        intermediate storage) vs the f32 contract on the same key: the SEG
+        chain must be VOXEL-EXACT (nearest selection is positional; labels
+        are bf16-representable integers) and the image must track f32 to
+        interpolation-noise level."""
+        from fetalsyngen_tpu.ops.linops import precision_scope, storage_scope
+
+        seeds, seg = data
+        key = jax.random.PRNGKey(77)
+        cfg = small_cfg()
+        out_f, sg_f, _, _ = synth_sample(key, seeds, seg, cfg=cfg)
+        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+            out_b, sg_b, _, _ = synth_sample(key, seeds, seg, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(sg_b), np.asarray(sg_f))
+        a = np.asarray(out_b, np.float32).ravel()
+        b = np.asarray(out_f, np.float32).ravel()
+        c = np.corrcoef(a, b)[0, 1]
+        assert c > 0.995, c
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6)
+        assert rel < 3e-2, rel
+
     def test_all_gates_off_is_gmm_only(self, data):
         """With every gate forced off, output == raw GMM intensities."""
         seeds, seg = data
