@@ -60,10 +60,10 @@ from .scanner import (
     _coarse_mask,
     _extract_pair,
     _finalize_traced,
-    _inplane_coef_tables,
     _pad_centered,
     _recon_one,
     _slice_artifacts,
+    _slice_coef_tables,
     _valid_coarse,
 )
 
@@ -372,15 +372,9 @@ def _acquire_one_small(
         vol_p, q_idx, angles, wscale, wdelta, out_size=S, post=post,
         out_perm=(1, 2, 0), emit_f32=False,
     )
-    nidx = jnp.arange(ns_grid, dtype=jnp.float32)
-    dv_tab, du_tab = _inplane_coef_tables(G, 1.0, c_s, 1.0)
-    dz = {
-        "coef": jnp.stack(
-            [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap_px)], -1
-        ),
-        "rs": 1.0,
-        "c_ss": c_s,
-    }
+    # px frame: rs = 1, c_ss = the S-buffer center (same laws as the big
+    # engine — shared helper so they cannot diverge)
+    dz, dv_tab, du_tab = _slice_coef_tables(G, 1.0, c_s, z0, gap_px, ns_grid)
     slices, _ = _extract_pair(Wv, None, gap_px, z0, dz, dv_tab, du_tab, S, ns_grid)
     valid_f = _valid_coarse(
         coarse_mask, q_idx, angles, wscale, wdelta, G, thr_frac, ns_count,
@@ -491,12 +485,16 @@ def pack_motion(
         gap_vox = gap / res
         ns = min(int(max(shape) * res / gap) + 2, ns_grid)
         # small-frame eligibility: the in-plane slice FOV (diag voxels) and
-        # the z slice span must both fit the small buffer in px units
+        # the z slice span must both fit the small buffer in px units, AND
+        # the slice gap must exceed 2 px — _extract_pair's n_near
+        # factorization is only EXACT for gap > 2 (scanner.py), and in px
+        # units gap/res_slice can dip below 2 where gap/res never does
         small = bool(
             small_cube is not None
             and small_cube < cube
             and rs * small_cube >= diag
             and (ns - 1) * gap_vox / rs <= small_cube - 12
+            and gap_vox / rs > 2.0
             and max(shape) <= small_cube
         )
         cube_s = small_cube if small else cube

@@ -200,6 +200,23 @@ def _pad_centered(vol: jnp.ndarray, cube: int) -> jnp.ndarray:
     return jnp.pad(vol, pads)
 
 
+def _slice_coef_tables(G, rs, c_ss, z0, gap, ns_grid):
+    """(dz dict, dv_tab, du_tab) for one stack's extraction — shared by the
+    big voxel-frame (``_acquire_one``) and small px-frame
+    (``batched._acquire_one_small``) acquisition paths so the dz/dv/du laws
+    cannot diverge between the two engines."""
+    nidx = jnp.arange(ns_grid, dtype=jnp.float32)
+    dv_tab, du_tab = _inplane_coef_tables(G, rs, c_ss, 1.0)
+    dz = {
+        "coef": jnp.stack(
+            [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap)], -1
+        ),
+        "rs": rs,
+        "c_ss": c_ss,
+    }
+    return dz, dv_tab, du_tab
+
+
 def _inplane_coef_tables(G, rs, c_ss, sign: float):
     """(NS, 4) per-slice coefficient tables for the dv/du hat passes.
 
@@ -270,8 +287,6 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid):
             a123[:, 2] - (a123[:, 0] + a123[:, 1]) * rs * c_ss,
         ]
     )  # (3, cube)
-    from ...ops.linops import _prec
-
     from ...ops.linops import einsum_store
 
     Mzn = interp_matrix(z0 + gap_vox * jnp.arange(ns_grid, dtype=jnp.float32), cube)
@@ -475,17 +490,9 @@ def _acquire_one(
         emit_f32=False,
     )
 
-    nidx = jnp.arange(ns_grid, dtype=jnp.float32)
     # dz kept in per-slice affine-coefficient form (see _extract_pair);
     # dv/du as per-slice coef TABLES (no displacement volumes at all)
-    dv_tab, du_tab = _inplane_coef_tables(G, rs, c_ss, 1.0)
-    dz = {
-        "coef": jnp.stack(
-            [G[:, 0, 1], G[:, 0, 2], G[:, 0, 3] - (z0 + nidx * gap_vox)], -1
-        ),
-        "rs": rs,
-        "c_ss": c_ss,
-    }
+    dz, dv_tab, du_tab = _slice_coef_tables(G, rs, c_ss, z0, gap_vox, ns_grid)
 
     slices, mslices = _extract_pair(Wv, Wm, gap_vox, z0, dz, dv_tab, du_tab, cube, ns_grid)
 
@@ -519,13 +526,17 @@ def _acquire_stack(
     cube: int, ns_grid: int,
 ):
     """Single-stack acquisition program (kept for the A/B parity tests;
-    the production path batches stacks through :func:`_acquire_stacks`)."""
-    return _acquire_one(
-        _pad_centered(vol, cube), _pad_centered(mask, cube),
-        q_idx, angles, wscale, wdelta, G, rs, gap_vox, z0, sig,
-        thr_frac, ns_count, key, gamma, gamma_on, sigma, void_prob, threshold,
-        cube, ns_grid,
-    )
+    the production path batches stacks through :func:`_acquire_stacks`).
+    Replay-faithful: pinned to f32 semantics (``linops.f32_scope``)."""
+    from ...ops.linops import f32_scope
+
+    with f32_scope():
+        return _acquire_one(
+            _pad_centered(vol, cube), _pad_centered(mask, cube),
+            q_idx, angles, wscale, wdelta, G, rs, gap_vox, z0, sig,
+            thr_frac, ns_count, key, gamma, gamma_on, sigma, void_prob,
+            threshold, cube, ns_grid,
+        )
 
 
 @partial(jax.jit, static_argnames=("cube", "ns_grid"))
@@ -559,19 +570,26 @@ def _acquire_stacks(
 
     Returns (slices (K, NS, SS, SS), valid (K, NS)).
     """
-    vol_p = _pad_centered(vol, cube)
-    mask_p = _pad_centered(mask, cube)
+    from ...ops.linops import f32_scope
 
-    def body(per_stack):
-        qi, ang, ws, wd, g, sc_, aid = per_stack
-        skey = jax.random.fold_in(key, 100 + aid)
-        return _acquire_one(
-            vol_p, mask_p, qi, ang, ws, wd, g, rs, gap_vox, z0, sig,
-            sc_[0], ns_count, skey, sc_[1], sc_[2] > 0.5, sc_[3],
-            void_prob, threshold, cube, ns_grid,
-        )
+    def _run():
+        vol_p = _pad_centered(vol, cube)
+        mask_p = _pad_centered(mask, cube)
 
-    return jax.lax.map(body, (q_idx, angles, wscale, wdelta, G, scal, attempt_id))
+        def body(per_stack):
+            qi, ang, ws, wd, g, sc_, aid = per_stack
+            skey = jax.random.fold_in(key, 100 + aid)
+            return _acquire_one(
+                vol_p, mask_p, qi, ang, ws, wd, g, rs, gap_vox, z0, sig,
+                sc_[0], ns_count, skey, sc_[1], sc_[2] > 0.5, sc_[3],
+                void_prob, threshold, cube, ns_grid,
+            )
+
+        return jax.lax.map(body, (q_idx, angles, wscale, wdelta, G, scal, attempt_id))
+
+    # replay-faithful host program: pin f32 semantics (linops.f32_scope)
+    with f32_scope():
+        return _run()
 
 
 def _recon_one(
@@ -685,11 +703,15 @@ def _recon_stack(
     cube: int, ns_grid: int, out_shape: tuple,
 ):
     """Single-stack reconstruction program (kept for the A/B parity tests;
-    the production path batches stacks through :func:`_recon_stacks`)."""
-    return _recon_one(
-        slices, keep_f, Grec, rs, gap_vox, z0, sig_rec,
-        qinv_idx, inv_angles, inv_scale, inv_delta, cube, ns_grid, out_shape,
-    )
+    the production path batches stacks through :func:`_recon_stacks`).
+    Replay-faithful: pinned to f32 semantics (``linops.f32_scope``)."""
+    from ...ops.linops import f32_scope
+
+    with f32_scope():
+        return _recon_one(
+            slices, keep_f, Grec, rs, gap_vox, z0, sig_rec,
+            qinv_idx, inv_angles, inv_scale, inv_delta, cube, ns_grid, out_shape,
+        )
 
 
 @partial(jax.jit, static_argnames=("cube", "ns_grid", "out_shape"))
@@ -718,7 +740,11 @@ def _recon_stacks(
 
     ``lax.map`` over packed per-stack state; value/weight accumulate in the
     loop carry so the (K, D, H, W) per-stack grids never materialize.
+    Replay-faithful: pinned to f32 semantics (``linops.f32_scope``).
     """
+    from ...ops.linops import f32_scope
+
+    _scope = f32_scope()
 
     def body(carry, per_stack):
         v_acc, w_acc = carry
@@ -729,17 +755,20 @@ def _recon_stacks(
         )
         return (v_acc + v_s, w_acc + w_s), None
 
-    zeros = jnp.zeros(out_shape, jnp.float32)
-    (value, weight), _ = jax.lax.scan(
-        body, (zeros, zeros),
-        (slices, keep_f, Grec, qinv_idx, inv_angles, inv_scale, inv_delta),
-    )
-    out = _finalize_traced(value, weight, volume_gt, smooth_on, merge_on, merge_weight)
-    ii = jax.lax.broadcasted_iota(jnp.int32, out_shape, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, out_shape, 2)
-    corner = (ii < extent[0]) & (jj < extent[1]) & (kk < extent[2])
-    return jnp.where(corner, out, 0.0)
+    with _scope:
+        zeros = jnp.zeros(out_shape, jnp.float32)
+        (value, weight), _ = jax.lax.scan(
+            body, (zeros, zeros),
+            (slices, keep_f, Grec, qinv_idx, inv_angles, inv_scale, inv_delta),
+        )
+        out = _finalize_traced(
+            value, weight, volume_gt, smooth_on, merge_on, merge_weight
+        )
+        ii = jax.lax.broadcasted_iota(jnp.int32, out_shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, out_shape, 2)
+        corner = (ii < extent[0]) & (jj < extent[1]) & (kk < extent[2])
+        return jnp.where(corner, out, 0.0)
 
 
 def _finalize_traced(value, weight, volume_gt, smooth_on, merge_on, merge_weight):

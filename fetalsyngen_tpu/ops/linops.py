@@ -98,6 +98,19 @@ def _store_dtype():
     return _STORE_OVERRIDE
 
 
+@contextlib.contextmanager
+def f32_scope():
+    """Suspend BOTH production scopes: the framework's f32/HIGHEST contract.
+
+    Module-level jitted functions whose semantics must not depend on the
+    caller's scope (replay-faithful host programs, mask morphology) wrap
+    their bodies in this — every trace then produces identical f32 programs,
+    so their aval-keyed jit caches cannot be poisoned by a scoped caller.
+    """
+    with precision_scope(None), storage_scope(None):
+        yield
+
+
 _UNSET = object()
 
 

@@ -31,10 +31,20 @@ def _box_matrix(size: int, k: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("kernel_size",))
 def box_sum(vol: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
-    """== ``apply_kernel`` (``utils.py:163-171``): cube box-sum convolution."""
-    vol = vol.astype(jnp.float32)
-    Ms = tuple(_box_matrix(vol.shape[a], kernel_size) for a in range(3))
-    return apply_separable(vol, Ms)
+    """== ``apply_kernel`` (``utils.py:163-171``): cube box-sum convolution.
+
+    Pinned to f32/HIGHEST regardless of the caller's production scopes:
+    this jit is shared by the replay-faithful host path and the scoped
+    stream with identical avals, so its trace must be scope-independent
+    (see ``linops.f32_scope``). Counts are small integers — the cost of
+    the pin is negligible next to the contract risk.
+    """
+    from .linops import f32_scope
+
+    with f32_scope():
+        vol = vol.astype(jnp.float32)
+        Ms = tuple(_box_matrix(vol.shape[a], kernel_size) for a in range(3))
+        return apply_separable(vol, Ms)
 
 
 @partial(jax.jit, static_argnames=("kernel_size",))
