@@ -192,3 +192,34 @@ class TestInterpAxis:
         w = coords - f
         want = x[f] * (1 - w)[:, None, None] + x[c] * w[:, None, None]
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestScopeSafety:
+    """Shared jitted ops must be immune to the production scopes: their
+    aval-keyed trace caches are shared between the scoped stream and the
+    f32 replay-faithful host path (the poisoning direction is order-
+    dependent, so this test forces the bad order explicitly)."""
+
+    def test_box_sum_immune_to_storage_scope(self):
+        import jax
+        from fetalsyngen_tpu.ops.linops import precision_scope, storage_scope
+        from fetalsyngen_tpu.ops.morphology import box_sum
+
+        rng = np.random.default_rng(3)
+        v = jnp.asarray(rng.random((32, 32, 32), np.float32))
+        # scoped trace FIRST (would poison an unpinned cache) ...
+        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+            scoped = np.asarray(box_sum(v, 3))
+        # ... then the host-path call with identical avals must still be
+        # f32-exact vs an independent computation
+        host = np.asarray(box_sum(v, 3))
+        ref = np.zeros_like(np.asarray(v))
+        vn = np.asarray(v)
+        pad = np.pad(vn, 1)
+        for di in range(3):
+            for dj in range(3):
+                for dk in range(3):
+                    ref += pad[di:di + 32, dj:dj + 32, dk:dk + 32]
+        np.testing.assert_allclose(host, ref, rtol=1e-6, atol=1e-4)
+        assert host.dtype == np.float32
+        np.testing.assert_allclose(scoped, ref, rtol=1e-6, atol=1e-4)
