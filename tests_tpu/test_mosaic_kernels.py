@@ -303,3 +303,72 @@ class TestScannerKernelGolden:
                 w_s[a, b, c], ww, rtol=2e-3, atol=2e-2,
                 err_msg=f"recon weight probe {(a, b, c)}",
             )
+
+
+class TestBf16StorageOnTPU:
+    """The bf16 HBM-I/O kernel path and the small px-frame engine compile
+    and track f32 on the real Mosaic lowering (round 3). These paths are
+    CPU-tested in interpreter mode; only the compiled lowering (bf16 VMEM
+    blocks, convert-on-stage, epilogue narrowing) is new here."""
+
+    def test_hat_pass_bf16_matches_f32(self, vol128):
+        from fetalsyngen_tpu.ops.linops import storage_scope
+        from fetalsyngen_tpu.ops.warp import hat_pass
+
+        v = jnp.asarray(vol128)
+        coefs = (0.4, 0.05, 1.0, 3.0)
+        shape = (128, 128, 128)
+        ref = np.asarray(hat_pass(v, coefs, None, shape, 48, False))
+        with storage_scope(jnp.bfloat16):
+            got = hat_pass(v, coefs, None, shape, 48, False)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got).astype(np.float32), ref, atol=2e-2, rtol=2e-2
+        )
+
+    def test_pair_bf16_and_zoom_first(self, vol128):
+        from fetalsyngen_tpu.ops.linops import precision_scope, storage_scope
+        from fetalsyngen_tpu.ops.warp import (
+            decompose_affine_paeth_host,
+            hat_pass_pair,
+            warp_rigid_zoom_first,
+        )
+
+        v = jnp.asarray(vol128)
+        coefs = (0.3, 0.02, 1.0, -2.0)
+        shape = (128, 128, 128)
+        ra, rb = hat_pass_pair(v, v * 2.0, coefs, None, shape, 48, modes=(False, False))
+        with storage_scope(jnp.bfloat16):
+            ga, gb = hat_pass_pair(v, v * 2.0, coefs, None, shape, 48, modes=(False, False))
+        np.testing.assert_allclose(
+            np.asarray(ga).astype(np.float32), np.asarray(ra), atol=2e-2, rtol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb).astype(np.float32), np.asarray(rb), atol=4e-2, rtol=2e-2
+        )
+
+        # zoom-first rigid warp under the production scopes (matmul path —
+        # exercises the bf16 einsum chain end-to-end on chip)
+        from scipy.spatial.transform import Rotation
+
+        rng = np.random.default_rng(5)
+        R = Rotation.random(random_state=rng).as_matrix()
+        A = 1.4 * R
+        c_in, c_out = 63.5, 47.5
+        t = c_in - A @ np.full(3, c_out)
+        q, ang, s, dlt = decompose_affine_paeth_host(A, t, 128)
+        ref = np.asarray(
+            warp_rigid_zoom_first(
+                v, q, jnp.asarray(ang), jnp.float32(s), jnp.asarray(dlt), out_size=96
+            )
+        )
+        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+            got = np.asarray(
+                warp_rigid_zoom_first(
+                    v, q, jnp.asarray(ang), jnp.float32(s), jnp.asarray(dlt),
+                    out_size=96,
+                )
+            )
+        assert got.dtype == np.float32  # emit_f32 default boundary
+        c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert c > 0.998, c
