@@ -207,8 +207,11 @@ def _hat_kernel(
 
     acc = acc_ref[:]
 
-    lo_edge = x_ref[:, 0][:, None].astype(jnp.float32)
-    hi_edge = x_ref[:, S - 1][:, None].astype(jnp.float32)
+    # edge values from the f32 scratch (staged at h_blk == 0; persists
+    # across lane steps) — avoids narrow column slices of a bf16 HBM block,
+    # which Mosaic handles less uniformly than full-block reads
+    lo_edge = s_ref[:, pad : pad + 1]
+    hi_edge = s_ref[:, pad + S - 1 : pad + S]
     o_ref[:] = jnp.where(sat_lo, lo_edge, jnp.where(sat_hi, hi_edge, acc)).astype(
         io_dtype
     )
@@ -1073,15 +1076,16 @@ def _hat_pair_kernel(
     acc_a = acc_a_ref[:]
     acc_b = acc_b_ref[:]
 
+    # edge values from the f32 scratches (see _hat_kernel note)
     oa_ref[:] = jnp.where(
         sat_lo,
-        xa_ref[:, 0][:, None].astype(jnp.float32),
-        jnp.where(sat_hi, xa_ref[:, S - 1][:, None].astype(jnp.float32), acc_a),
+        sa_ref[:, pad : pad + 1],
+        jnp.where(sat_hi, sa_ref[:, pad + S - 1 : pad + S], acc_a),
     ).astype(io_dtype)
     ob_ref[:] = jnp.where(
         sat_lo,
-        xb_ref[:, 0][:, None].astype(jnp.float32),
-        jnp.where(sat_hi, xb_ref[:, S - 1][:, None].astype(jnp.float32), acc_b),
+        sb_ref[:, pad : pad + 1],
+        jnp.where(sat_hi, sb_ref[:, pad + S - 1 : pad + S], acc_b),
     ).astype(io_dtype)
 
 
