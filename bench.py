@@ -228,19 +228,18 @@ def main():
     seeds = jnp.broadcast_to(jnp.asarray(seeds_np, jnp.int32), (B, *shape))
     segs = jnp.broadcast_to(jnp.asarray(seg_np, jnp.int32), (B, *shape))
 
-    from fetalsyngen_tpu.ops.linops import precision_scope, storage_scope
+    from fetalsyngen_tpu.parallel.input_pipeline import _production_scopes
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def chain(key, seeds, segs, iters):
         # production generation mode: single-pass bf16 MXU + bf16
         # intermediate storage (the stream path, input_pipeline._gen_batch,
-        # generates with the same scopes). Replay-faithful host sampling
-        # stays f32; tests/test_pipeline.py pins bf16-vs-f32 quality
-        # (seg voxel-exact, image corr).
+        # generates with the same scopes; FSG_STREAM_BF16=0 reverts to the
+        # f32 contract). Replay-faithful host sampling stays f32;
+        # tests/test_pipeline.py pins bf16-vs-f32 quality (seg voxel-exact,
+        # image corr).
         def core(k, sd, sg):
-            with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
-                jnp.bfloat16
-            ):
+            with _production_scopes():
                 out, seg, _, _ = _synth_core(
                     k, sd, sg, jnp.zeros((), jnp.float32), (), cfg, (), False
                 )

@@ -17,6 +17,8 @@ sample inside forked DataLoader workers (``rand_gmm.py:90-97``,
 from __future__ import annotations
 
 import collections
+import contextlib
+import os
 import threading
 from functools import partial
 
@@ -27,6 +29,19 @@ import numpy as np
 from ..generator.config import GeneratorCfg
 from ..generator.pipeline import _synth_core
 from ..io import nifti
+
+
+def _production_scopes():
+    """The stream's bf16 production scopes, env-gated for perf attribution
+    and emergency rollback (``FSG_STREAM_BF16=0`` -> plain f32 contract)."""
+    if os.environ.get("FSG_STREAM_BF16", "1") == "0":
+        return contextlib.nullcontext()
+    from ..ops.linops import precision_scope, storage_scope
+
+    stack = contextlib.ExitStack()
+    stack.enter_context(precision_scope(jax.lax.Precision.DEFAULT))
+    stack.enter_context(storage_scope(jnp.bfloat16))
+    return stack
 
 
 @partial(jax.jit, static_argnames=())
@@ -123,14 +138,12 @@ def _gen_batch(sub, bank, seg, lo, hi, B, cfg):
     see ``linops.storage_scope`` and ``tests/test_pipeline.py``'s
     bf16-vs-f32 quality pin. The replay-faithful dataset path stays f32.
     """
-    from ..ops.linops import precision_scope, storage_scope
-
     keys = jax.random.split(sub, B)
     choices = jax.random.randint(jax.random.fold_in(sub, 1), (B, 4), lo, hi)
 
     def one(key, ch):
         seeds = compose_seeds(bank, ch)
-        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+        with _production_scopes():
             out, seg_o, _, _ = _synth_core(
                 key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
             )
@@ -162,8 +175,6 @@ def _make_batch_fn(
         motion_t,
     )
 
-    from ..ops.linops import precision_scope, storage_scope
-
     has_quality = qa is not None and (
         qa.blur_cortex is not None or qa.struct_noise is not None or qa.boundaries is not None
     )
@@ -184,9 +195,7 @@ def _make_batch_fn(
             seg = segs[sj].astype(jnp.int32)
             # bf16 production mode (see _gen_batch); f32 out for the
             # artifact chain's boundaries
-            with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
-                jnp.bfloat16
-            ):
+            with _production_scopes():
                 out, seg_o, _, _ = _synth_core(
                     key, seeds, seg, jnp.zeros((), jnp.float32), (), cfg, (), False
                 )
@@ -205,9 +214,7 @@ def _make_batch_fn(
                 # chain's outputs receive Rician noise/gamma/voids anyway
                 # and the stream is documented non-replay-exact — see
                 # linops.precision_scope / linops.storage_scope.
-                with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
-                    jnp.bfloat16
-                ):
+                with _production_scopes():
                     if has_quality:
                         o = apply_pre_motion(ka, o, sg, qa)
                     if has_motion:
@@ -296,6 +303,8 @@ class SyntheticStream:
         # volume; samples whose res_slice draw covers the FOV at that size
         # run the motion engine there (~(small/cube)^3 the cost)
         sc = ((max(shape) + 127) // 128) * 128
+        if os.environ.get("FSG_SMALL_TIER", "1") == "0":
+            small_tier = False
         self.small_cube = sc if (small_tier and sc < self.cube) else None
         self.mix_subjects = max(1, min(int(mix_subjects), len(self._names)))
         self._resident: list[str] = []

@@ -87,7 +87,7 @@ def make_sharded_artifact_generator(
         motion_t,
     )
     from ..generator.pipeline import _synth_core
-    from ..ops.linops import precision_scope, storage_scope
+    from .input_pipeline import _production_scopes
 
     qa = QualityArtifacts.from_generator(generator)
     sm = (getattr(generator, "artifacts", {}) or {}).get("simulate_motion")
@@ -101,9 +101,7 @@ def make_sharded_artifact_generator(
     def local_fn(keys, seeds, segs, pack):
         def one(args):
             key, sd, sg, row = args
-            with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(
-                jnp.bfloat16
-            ):
+            with _production_scopes():
                 out, seg_o, _, _ = _synth_core(
                     key, sd, sg, jnp.zeros((), jnp.float32), (), cfg, (), False
                 )
