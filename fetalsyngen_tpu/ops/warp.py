@@ -92,9 +92,13 @@ def _hat_kernel(
 ):
     """One axis pass over a (BLOCK_ROWS, lane_block) output block.
 
-    coef_ref: (1, 4) SMEM  — (ci, cj, ck, bias) of the affine position map
+    coef_ref: (1, 1, 4) SMEM  — (ci, cj, ck, bias) of the affine position map
         pos = ci * row_i + cj * row_j + ck * lane + bias,
-        with rows enumerated as row = row_i * H_rows + row_j.
+        with rows enumerated as row = row_i * H_rows + row_j. (The table is
+        shipped as (N, 1, 4) so the block's trailing dims equal the array's —
+        Mosaic requires the last two block dims be (8,128)-divisible OR equal
+        to the array dims, and a (1, 4) block over an (N, 4) table violates
+        that on real hardware.)
     x_ref:    (BLOCK_ROWS, S) VMEM — raw source rows; edge padding is staged
         in the kernel (s_ref) instead of materializing a padded HBM copy.
     disp_ref: (BLOCK_ROWS, lane_block) VMEM — optional per-elem displacement.
@@ -107,10 +111,10 @@ def _hat_kernel(
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
 
-    ci = coef_ref[0, 0]
-    cj = coef_ref[0, 1]
-    ck = coef_ref[0, 2]
-    bias = coef_ref[0, 3]
+    ci = coef_ref[0, 0, 0]
+    cj = coef_ref[0, 0, 1]
+    ck = coef_ref[0, 0, 2]
+    bias = coef_ref[0, 0, 3]
 
     B = BLOCK_ROWS
     LB = lane_block
@@ -333,10 +337,10 @@ def _hat_pass_impl(
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
             pl.BlockSpec(
-                (1, 4),
-                (lambda r, h: (r // (H // BLOCK_ROWS), 0))
+                (1, 1, 4),
+                (lambda r, h: (r // (H // BLOCK_ROWS), 0, 0))
                 if per_slice
-                else (lambda r, h: (0, 0)),
+                else (lambda r, h: (0, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM),
@@ -348,7 +352,7 @@ def _hat_pass_impl(
             pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(coefs if per_slice else coefs.reshape(1, 4), x2d, disp2d)
+    )(coefs.reshape(-1, 1, 4), x2d, disp2d)
     return out.reshape(D, H, OW)
 
 
@@ -990,7 +994,7 @@ def _hat_pair_kernel(
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
-    ci, cj, ck, bias = (coef_ref[0, i] for i in range(4))
+    ci, cj, ck, bias = (coef_ref[0, 0, i] for i in range(4))
 
     B = BLOCK_ROWS
     LB = lane_block
@@ -1174,10 +1178,13 @@ def _hat_pass_pair_impl(
     raw = pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
     rows_per_slice = H // BLOCK_ROWS
+    # (N, 1, 4) table + (1, 1, 4) block: trailing block dims equal the array
+    # dims, satisfying Mosaic's tiling rule (a (1, 4) block over (N, 4) does
+    # not lower on real hardware when N > 1).
     coef_spec = (
-        pl.BlockSpec((1, 4), lambda r, h: (r // rows_per_slice, 0), memory_space=pltpu.SMEM)
+        pl.BlockSpec((1, 1, 4), lambda r, h: (r // rows_per_slice, 0, 0), memory_space=pltpu.SMEM)
         if per_slice
-        else pl.BlockSpec((1, 4), lambda r, h: (0, 0), memory_space=pltpu.SMEM)
+        else pl.BlockSpec((1, 1, 4), lambda r, h: (0, 0, 0), memory_space=pltpu.SMEM)
     )
     oa, ob = pl.pallas_call(
         kernel,
@@ -1200,7 +1207,7 @@ def _hat_pass_pair_impl(
             pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(coefs_arr if per_slice else coefs_arr.reshape(1, 4), xa, xb, disp2d)
+    )(coefs_arr.reshape(-1, 1, 4), xa, xb, disp2d)
     return oa.reshape(D, H, OW), ob.reshape(D, H, OW)
 
 

@@ -371,4 +371,8 @@ class TestBf16StorageOnTPU:
             )
         assert got.dtype == np.float32  # emit_f32 default boundary
         c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
-        assert c > 0.998, c
+        # Calibrated against the INTENDED bf16 semantics: interpreter mode
+        # gives corr = 0.99772 for this exact draw, the v5e lowering 0.99769
+        # (agreement to 3e-5). The bound guards lowering corruption
+        # (O(full-scale)), not bf16 quantization itself.
+        assert c > 0.9965, c
