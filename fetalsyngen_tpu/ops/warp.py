@@ -53,12 +53,17 @@ PAD = 128
 def _win_geometry(S: int, lane_block: int):
     """(pad, width, WIN) for one pass: bounds chosen so every valid n0 fits.
 
-    Proof sketch: WIN = LB + 256 so taps l + m <= LB - 1 + maxspan - 1 stay
-    below WIN - 127 after the sub-128 roll. hi clamp n0 <= S - 1 - lane0
-    covers any block minimum of valid rel (rel <= S - 1 - lane <= S-1-lane0);
-    then base <= pad + S - 1, q*128 <= pad + S - 128, and
+    Proof sketch: the kernel reads its window at the 128-ALIGNED base and
+    folds the sub-128 remainder ``off`` into the tap index, so window slices
+    reach c + LB - 1 with c <= ceil((maxspan + 128)/8)*8 - 1 <= 255 (maxspan
+    <= V1_MAXSPAN = 128) — WIN = LB + 256 covers them. hi clamp
+    n0 <= S - 1 - lane0 covers any block minimum of valid rel
+    (rel <= S - 1 - lane <= S-1-lane0); then base <= pad + S - 1,
+    q*128 <= pad + S - 128 (pad + S is 128-divisible), and
     q*128 + WIN <= S + pad + LB + 128 = width. lo clamp n0 >= -(pad + lane0)
-    is never binding for valid elements since pad >= LB > LB - 1.
+    is never binding for blocks holding an included element: bounds-included
+    rel > -lane - EPS_BOUNDS, so n0 >= -(lane0 + LB - 1) - 1 >= -(pad + lane0)
+    since pad >= LB (see _block_bounds).
     """
     pad = max(PAD, lane_block)
     return pad, S + pad + lane_block + 128, lane_block + 256
@@ -79,14 +84,18 @@ def _use_pallas() -> bool:
 # Hat-accumulate pass kernels
 # ---------------------------------------------------------------------------
 
-BLOCK_ROWS = 32
+# 64 rows/block: with the per-block scalar reductions moved to XLA
+# (_block_bounds) the per-grid-step fixed cost dominates the pass, and 64
+# rows halves the step count vs 32 at still-tight span budgets (measured
+# best of {32, 64, 128} on v5e at 384^3). Requires H % 64 == 0 (_v1_ok).
+BLOCK_ROWS = 64
 
 
 TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
 
 
 def _hat_kernel(
-    coef_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
+    coef_ref, b_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
     *, S, H_rows, maxspan, nearest, with_disp, lane_block=128, lane_affine=False,
     io_dtype=jnp.float32,
 ):
@@ -99,6 +108,12 @@ def _hat_kernel(
         Mosaic requires the last two block dims be (8,128)-divisible OR equal
         to the array dims, and a (1, 4) block over an (N, 4) table violates
         that on real hardware.)
+    b_ref:    (1, 1, 2) SMEM — this block's exact valid-masked (min, max) of
+        ``rel`` (:func:`_block_bounds`). Precomputing the extremes on XLA
+        removes the kernel's cross-lane min/max reductions — measured ~1 us
+        PER REDUCTION per block on v5e (vector->scalar sync), which
+        dominated the whole pass (2 reductions x 4608 blocks ~ 10 ms of the
+        16 ms dz pass at 384^3).
     x_ref:    (BLOCK_ROWS, S) VMEM — raw source rows; edge padding is staged
         in the kernel (s_ref) instead of materializing a padded HBM copy.
     disp_ref: (BLOCK_ROWS, lane_block) VMEM — optional per-elem displacement.
@@ -147,28 +162,25 @@ def _hat_kernel(
 
     sat_lo = pos <= 0.0
     sat_hi = pos >= S - 1.0
-    valid = jnp.logical_not(jnp.logical_or(sat_lo, sat_hi))
 
     rel = pos - lanes_f
-    rel_v = jnp.where(valid, rel, _BIG)
-    n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
+    n0 = jnp.floor(b_ref[0, 0, 0]).astype(jnp.int32)
     # Bounds are NEVER binding for a block holding a valid element (see
     # _win_geometry) — they only keep all-saturated blocks in-bounds.
     n0 = jnp.clip(n0, -(pad + h_blk * LB), S - 1 - h_blk * LB)
 
-    # Mosaic supports only 128-aligned dynamic lane slices and single-vreg
-    # dynamic rolls, so the block's source window is staged in two steps:
-    # (1) a 128-aligned dynamic slice, (2) a log2 ladder of conditional
-    # STATIC rolls for the sub-128 remainder; the tap loop then uses static
-    # slices of the aligned window.
+    # Mosaic supports only 128-aligned dynamic lane slices, so the window is
+    # taken at the 128-aligned base and the sub-128 remainder ``off`` is
+    # FOLDED INTO THE TAP INDEX instead of rolled out of the window: tap c
+    # of the aligned window is offset m = c - off of the exact base, so the
+    # weights use d0 + off and the static tap loop spans maxspan + 128 lanes
+    # with two-sided chunk predication (only ~spread/8 + 1 chunks run).
+    # Removes the 7-roll alignment ladder (~2.7 ms/pass at 384^3).
     base = pad + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
     win = s_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
-    for b in range(7):  # shift left by off in [0, 128); left-by-s == roll by (WIN - s)
-        bit = ((off >> b) & 1) == 1
-        win = jnp.where(bit, pltpu.roll(win, WIN - (1 << b), 1), win)
-    # now win[:, l] == padded[rows, base + l] for l < WIN - 127
+    # win[:, c] == padded[rows, 128*q + c]; element taps sit at c = off + m.
 
     # Tap offsets clamp into the window: a position whose within-block spread
     # exceeds maxspan samples a clamped (nearby) tap instead of silently
@@ -177,34 +189,36 @@ def _hat_kernel(
     # span_dyn = taps this block actually needs: every valid element's rel
     # lies in [n0, mx], so taps m >= floor(mx) - n0 + 2 have exactly zero
     # weight (linear: |d0 - m| >= 1; nearest: ri_rel < span_dyn). The static
-    # maxspan loop runs in TAP_CHUNK-sized pl.when chunks skipped once past
-    # span_dyn — bit-identical output, ~maxspan/spread x less VPU work on
-    # smooth-field and small-shear passes.
-    mx = jnp.max(jnp.where(valid, rel, -_BIG))
-    span_dyn = jnp.floor(mx).astype(jnp.int32) - n0 + 2
+    # tap loop runs in TAP_CHUNK-sized pl.when chunks gated to
+    # [off, off + span_dyn) — bit-identical output, ~maxspan/spread x less
+    # VPU work on smooth-field and small-shear passes.
+    span_dyn = jnp.floor(b_ref[0, 0, 1]).astype(jnp.int32) - n0 + 2
+    off_f = off.astype(jnp.float32)
+    lo_c = off
+    hi_c = off + jnp.minimum(span_dyn, maxspan)
     acc_ref[:] = jnp.zeros((B, LB), jnp.float32)
     if nearest:
         ri_rel = jnp.clip(
             jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0
-        )
-        for c0 in range(0, maxspan, TAP_CHUNK):
+        ) + off_f
+        for c0 in range(0, maxspan + 128, TAP_CHUNK):
 
-            @pl.when(c0 < span_dyn)
+            @pl.when(jnp.logical_and(c0 < hi_c, c0 + TAP_CHUNK > lo_c))
             def _chunk(c0=c0):
                 acc = acc_ref[:]
-                for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
+                for m in range(c0, c0 + TAP_CHUNK):
                     wgt = (ri_rel == float(m)).astype(jnp.float32)
                     acc = acc + wgt * win[:, m : m + LB]
                 acc_ref[:] = acc
 
     else:
-        d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
-        for c0 in range(0, maxspan, TAP_CHUNK):
+        d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0) + off_f
+        for c0 in range(0, maxspan + 128, TAP_CHUNK):
 
-            @pl.when(c0 < span_dyn)
+            @pl.when(jnp.logical_and(c0 < hi_c, c0 + TAP_CHUNK > lo_c))
             def _chunk(c0=c0):
                 acc = acc_ref[:]
-                for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
+                for m in range(c0, c0 + TAP_CHUNK):
                     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
                     acc = acc + wgt * win[:, m : m + LB]
                 acc_ref[:] = acc
@@ -240,6 +254,91 @@ def _hat_pass_jnp(x2d, pos, nearest):
     out = jnp.where(sat_lo, x2d[:, :1], out)
     out = jnp.where(sat_hi, x2d[:, S - 1 :][:, :1], out)
     return out
+
+
+# Validity/ulp margin for the XLA-side block-bounds precompute: the kernel
+# and the precompute evaluate the SAME f32 position polynomial, but Mosaic
+# and XLA may schedule/fuse it differently (FMA contraction), so per-element
+# positions can disagree by a few ulps (<~3e-5 at |pos| <= 512). The
+# precompute therefore (a) includes elements within EPS of the saturation
+# boundaries and (b) pads the (min, max) by EPS — taps added by the padding
+# carry exactly zero hat weight, so outputs are bit-identical while
+# ulp-level disagreement can never exclude a kernel-valid element. EPS must
+# stay < 0.5 so the _win_geometry lower-clip proof holds.
+EPS_BOUNDS = 0.05
+
+
+def _block_bounds(coefs, per_slice, disp, lane_affine, R, OW, H_rows, S, lane_block):
+    """Per-(row-block, lane-block) enclosing (lo, hi) of ``rel = pos - lane``
+    over a block's valid elements, shipped to the hat kernels via SMEM.
+
+    Replaces the kernels' in-kernel cross-lane min/max reductions — measured
+    ~1 us PER REDUCTION per block on v5e (vector->scalar sync), i.e. ~10 ms
+    of a 16 ms dz pass at 384^3. Computed ANALYTICALLY, not by reducing the
+    full position grid (a fused 56M-element masked reduce still costs ~3 ms
+    in XLA): row blocks never straddle slices (``H % BLOCK_ROWS == 0`` is a
+    Pallas-path precondition), so ``row_i`` is constant per block and the
+    position polynomial is affine in ``row_j`` for each lane — its extremes
+    are corner evaluations, vectorized over (row_block, lane) and reduced
+    over each lane block. A displacement VOLUME contributes through interval
+    arithmetic on its per-block (min, max) — the only real array reduce, at
+    HBM-bandwidth cost.
+
+    Validity masking is replaced by clamping to the per-lane-block range any
+    valid element can occupy (valid rel in (-lane - eps, S-1+eps - lane)) —
+    enclosing, never excluding. Fully-saturated blocks may therefore run a
+    few zero-effect taps (their outputs come from the kernel's saturation
+    select), instead of the brute-force path's exact skip; interior blocks
+    get corner-exact bounds. Bounds are padded by EPS_BOUNDS so ulp-level
+    Mosaic/XLA scheduling differences in the position math can never
+    exclude a kernel-valid element (padding taps carry zero hat weight).
+    """
+    B = BLOCK_ROWS
+    nrb = R // B
+    nh = OW // lane_block
+    bps = H_rows // B  # row blocks per slice
+    rb = jnp.arange(nrb, dtype=jnp.int32)
+    i_blk = (rb // bps).astype(jnp.float32)[:, None]  # (nrb, 1)
+    j0 = ((rb % bps) * B).astype(jnp.float32)[:, None]
+    lanes = jnp.arange(OW, dtype=jnp.float32)[None, :]  # (1, OW)
+    if per_slice:
+        cs = coefs[rb // bps]  # (nrb, 4)
+        ci, cj, ck, bias = (cs[:, i : i + 1] for i in range(4))
+    else:
+        ci, cj, ck, bias = (coefs[i] for i in range(4))
+    # rel(j, l) = base(l) + slope_j(l) * j   (j in [j0, j0 + B))
+    base = ci * i_blk + bias + (ck - 1.0) * lanes
+    slope_j = cj
+    if lane_affine:
+        base = base + disp[0][None, :] * i_blk + disp[2][None, :]
+        slope_j = slope_j + disp[1][None, :]
+    swing = slope_j * (B - 1.0)
+    at_j0 = base + slope_j * j0
+    fmin = at_j0 + jnp.minimum(swing, 0.0)
+    fmax = at_j0 + jnp.maximum(swing, 0.0)
+    if disp is not None and not lane_affine:
+        # displacement volume: per-block interval arithmetic on its extremes
+        d4 = disp.reshape(nrb, B, nh, lane_block)
+        dmn = jnp.min(d4, axis=(1, 3))
+        dmx = jnp.max(d4, axis=(1, 3))
+        f4 = fmin.reshape(nrb, nh, lane_block)
+        g4 = fmax.reshape(nrb, nh, lane_block)
+        mn = jnp.min(f4, axis=2) + dmn
+        mx = jnp.max(g4, axis=2) + dmx
+        l0 = (jnp.arange(nh, dtype=jnp.float32) * lane_block)[None, :]
+        mn = jnp.maximum(mn, -(l0 + lane_block - 1.0) - EPS_BOUNDS)
+        mx = jnp.minimum(mx, S - 1.0 + EPS_BOUNDS - l0)
+    else:
+        # clamp per lane (tighter than per block), then reduce lane blocks
+        lo = jnp.maximum(fmin, -lanes - EPS_BOUNDS)
+        hi = jnp.minimum(fmax, S - 1.0 + EPS_BOUNDS - lanes)
+        mn = jnp.min(lo.reshape(nrb, nh, lane_block), axis=2)
+        mx = jnp.max(hi.reshape(nrb, nh, lane_block), axis=2)
+    mn = mn - EPS_BOUNDS
+    mx = mx + EPS_BOUNDS
+    # (n_row_blocks * n_lane_blocks, 1, 2): trailing block dims equal the
+    # array dims (same Mosaic SMEM tiling rule as the coef table).
+    return jnp.stack([mn, mx], axis=-1).reshape(-1, 1, 2)
 
 
 def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False):
@@ -331,6 +430,10 @@ def _hat_pass_impl(
     else:
         disp2d = jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
         disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+    nh = OW // LB
+    bounds = _block_bounds(
+        coefs, per_slice, disp2d if with_disp else None, lane_affine, R, OW, H, W, LB
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, OW), io_dtype),
@@ -343,6 +446,7 @@ def _hat_pass_impl(
                 else (lambda r, h: (0, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec((1, 1, 2), lambda r, h: (r * nh + h, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM),
             disp_spec,
         ],
@@ -352,15 +456,16 @@ def _hat_pass_impl(
             pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(coefs.reshape(-1, 1, 4), x2d, disp2d)
+    )(coefs.reshape(-1, 1, 4), bounds, x2d, disp2d)
     return out.reshape(D, H, OW)
 
 
-# Window-capacity invariant of the roll ladder (see _win_geometry's proof):
-# taps l + m <= LB - 1 + span - 1 must stay <= WIN - 128 = LB + 128 after the
-# sub-128 roll, i.e. span <= 130 independent of the lane block. Spans beyond
-# it silently read rolled-garbage lanes — route them to the jnp path instead.
-V1_MAXSPAN = 130
+# Window-capacity invariant (see _win_geometry's proof): the offset-folded
+# tap loop's last chunk slices win[:, c : c + LB] with
+# c <= ceil((span + 128)/TAP_CHUNK)*TAP_CHUNK - 1, which must stay
+# <= WIN - LB = 256, i.e. span <= 128 independent of the lane block. Larger
+# spans would trace out-of-bounds window slices — route them to the jnp path.
+V1_MAXSPAN = 128
 
 
 def _v1_ok(R, W, OW, H_rows, maxspan=0):
@@ -396,10 +501,10 @@ def ul_decompose(A: jnp.ndarray):
 
 # Static pass windows: within-block position span bounds for the supported
 # deformation ranges (rot<=20deg, shear<=0.05, scale in [0.8, 1.25]) at the
-# v1 kernel's (32, 128) blocks:
-#   U passes:  |diag-1|*127 (lanes) + |offdiag|*31 (rows) + 4
-#   L passes:  unit lane slope; |L offdiag|*31 + 4
-#   field:     unit lane slope + 2*FIELD_LIM + |L|*31 + 4
+# v1 kernel's (BLOCK_ROWS=64, 128) blocks:
+#   U passes:  |diag-1|*127 (lanes) + |offdiag|*63 (rows) + 4  (~39)
+#   L passes:  unit lane slope; |L offdiag|*63 + 4
+#   field:     unit lane slope + 2*FIELD_LIM + |L|*63 + 4      (~39)
 # Span overflow (exotic configs) degrades to a clamped tap, not zeros.
 MAXSPAN_U = 48
 MAXSPAN_L = 48
@@ -986,7 +1091,7 @@ def warp_affine_field_separable(vol, A, t, Fx, Fy, Fz, nearest=False):
 # fixed costs — between the two operands.
 
 def _hat_pair_kernel(
-    coef_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, acc_a_ref, acc_b_ref,
+    coef_ref, b_ref, xa_ref, xb_ref, disp_ref, oa_ref, ob_ref, acc_a_ref, acc_b_ref,
     sa_ref, sb_ref,
     *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128,
     lane_affine=False,
@@ -1031,39 +1136,39 @@ def _hat_pair_kernel(
 
     sat_lo = pos <= 0.0
     sat_hi = pos >= S - 1.0
-    valid = jnp.logical_not(jnp.logical_or(sat_lo, sat_hi))
     rel = pos - lanes_f
-    rel_v = jnp.where(valid, rel, _BIG)
-    n0 = jnp.floor(jnp.min(rel_v)).astype(jnp.int32)
-    # Never binding for blocks holding a valid element (see _win_geometry).
+    # per-block bounds precomputed on XLA (see _hat_kernel's b_ref note)
+    n0 = jnp.floor(b_ref[0, 0, 0]).astype(jnp.int32)
+    # Never binding for blocks holding an included element (_win_geometry).
     n0 = jnp.clip(n0, -(pad + h_blk * LB), S - 1 - h_blk * LB)
 
+    # window at the 128-ALIGNED base; the sub-128 remainder ``off`` is folded
+    # into the tap index (see _hat_kernel) — no roll ladder
     base = pad + h_blk * LB + n0
     q = base // 128
     off = base - q * 128
     wa = sa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
     wb = sb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
-    for b in range(7):
-        bit = ((off >> b) & 1) == 1
-        sh = WIN - (1 << b)
-        wa = jnp.where(bit, pltpu.roll(wa, sh, 1), wa)
-        wb = jnp.where(bit, pltpu.roll(wb, sh, 1), wb)
 
-    d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
-    ri_rel = jnp.clip(jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0)
-    # Chunked tap loop skipped past the block's true spread (see
-    # _hat_kernel's span_dyn note) — bit-identical, adaptively cheaper.
-    mx = jnp.max(jnp.where(valid, rel, -_BIG))
-    span_dyn = jnp.floor(mx).astype(jnp.int32) - n0 + 2
+    off_f = off.astype(jnp.float32)
+    d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0) + off_f
+    ri_rel = jnp.clip(
+        jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0
+    ) + off_f
+    # Chunked tap loop gated to [off, off + span_dyn) (see _hat_kernel's
+    # span_dyn note) — bit-identical, adaptively cheaper.
+    span_dyn = jnp.floor(b_ref[0, 0, 1]).astype(jnp.int32) - n0 + 2
+    lo_c = off
+    hi_c = off + jnp.minimum(span_dyn, maxspan)
     acc_a_ref[:] = jnp.zeros((B, LB), jnp.float32)
     acc_b_ref[:] = jnp.zeros((B, LB), jnp.float32)
-    for c0 in range(0, maxspan, TAP_CHUNK):
+    for c0 in range(0, maxspan + 128, TAP_CHUNK):
 
-        @pl.when(c0 < span_dyn)
+        @pl.when(jnp.logical_and(c0 < hi_c, c0 + TAP_CHUNK > lo_c))
         def _chunk(c0=c0):
             acc_a = acc_a_ref[:]
             acc_b = acc_b_ref[:]
-            for m in range(c0, min(c0 + TAP_CHUNK, maxspan)):
+            for m in range(c0, c0 + TAP_CHUNK):
                 wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
                 nsel = ri_rel == float(m)
                 if modes[0]:
@@ -1186,6 +1291,10 @@ def _hat_pass_pair_impl(
         if per_slice
         else pl.BlockSpec((1, 1, 4), lambda r, h: (0, 0, 0), memory_space=pltpu.SMEM)
     )
+    nh = OW // LB
+    bounds = _block_bounds(
+        coefs_arr, per_slice, disp2d if with_disp else None, lane_affine, R, OW, H, W, LB
+    )
     oa, ob = pl.pallas_call(
         kernel,
         out_shape=(
@@ -1195,6 +1304,7 @@ def _hat_pass_pair_impl(
         grid=(R // BLOCK_ROWS, OW // LB),
         in_specs=[
             coef_spec,
+            pl.BlockSpec((1, 1, 2), lambda r, h: (r * nh + h, 0, 0), memory_space=pltpu.SMEM),
             raw,
             raw,
             disp_spec,
@@ -1207,7 +1317,7 @@ def _hat_pass_pair_impl(
             pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(coefs_arr.reshape(-1, 1, 4), xa, xb, disp2d)
+    )(coefs_arr.reshape(-1, 1, 4), bounds, xa, xb, disp2d)
     return oa.reshape(D, H, OW), ob.reshape(D, H, OW)
 
 
