@@ -81,6 +81,73 @@ def main():
     elif v == "transpose":
         fn = lambda a: jnp.transpose(a, (0, 1, 3, 2)) + 0.0
         sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    elif v == "transpose_bf16":
+        xb = x.astype(jnp.bfloat16)
+        fn = lambda a: jnp.transpose(a, (0, 1, 3, 2)) + jnp.bfloat16(0.0)
+        sec, _ = timeit(lambda c: fn(c), xb, iters=args.iters)
+    elif v == "transpose_rows":  # leading-dims swap (row permutation, lanes kept)
+        fn = lambda a: jnp.transpose(a, (0, 2, 1, 3)) + 0.0
+        sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
+    elif v in ("pair_l_unit", "pair_l_unit_bf16"):  # the REAL pipeline L pass
+        from fetalsyngen_tpu.ops.linops import storage_scope
+
+        store = jnp.bfloat16 if v.endswith("bf16") else None
+        with storage_scope(store):
+            fn = jax.vmap(
+                lambda a, b, dd: W.hat_pass_pair(
+                    a, b, (0.11, 0.07, 1.0, 0.3), dd, shape, W.MAXSPAN_FIELD,
+                    unit_slope=True,
+                )
+            )
+            sec, _ = timeit(
+                lambda c: (*fn(c[0], c[1], c[2])[:2], c[2]), (x, y, d), iters=args.iters
+            )
+    elif v in ("u_stage", "u_stage_bf16"):  # the 4-matmul U stage of the pair warp
+        from fetalsyngen_tpu.ops.linops import storage_scope
+
+        store = jnp.bfloat16 if v.endswith("bf16") else None
+        modes = (False, True)
+        with storage_scope(store):
+
+            def one(a, b):
+                a, b = W._row_affine_matmul_pair(a, b, 1.08, 0.0, 0.3, modes, out_order="ikj")
+                a, b = W._row_affine_matmul_pair(a, b, 0.95, 0.06, 0.1, modes, out_order="kji")
+                a, b = W._row_affine_matmul_pair(a, b, 1.0, 0.04, 0.0, modes, out_order="jik")
+                a, b = W._row_affine_matmul_pair(a, b, 1.02, -0.05, 0.2, modes, out_order="kij")
+                return a, b
+
+            fn = jax.vmap(one)
+            sec, _ = timeit(lambda c: fn(c[0], c[1]), (x, y), iters=args.iters)
+    elif v == "nonlin_field":  # the 3-channel low-res field upsample (f32)
+        from fetalsyngen_tpu.ops.linops import zoom_mm
+
+        sm = 10
+        f_small = jnp.asarray(rng.normal(size=(B, 3, sm, sm, sm)), jnp.float32)
+        factor = jnp.full((3,), S / sm, jnp.float32)
+        size_small = jnp.full((3,), sm, jnp.int32)
+
+        def one(fs):
+            return jnp.stack(
+                [zoom_mm(fs[c], shape, factor, in_shape=size_small) for c in range(3)]
+            )
+
+        fn = jax.vmap(one)
+        sec, _ = timeit(lambda c: c + jnp.mean(fn(c)) * 1e-20, f_small, iters=args.iters)
+    elif v in ("deform_pair_bf16",):  # full fused warp under production scopes
+        from fetalsyngen_tpu.ops.linops import storage_scope, precision_scope
+
+        A = jnp.asarray(np.eye(3) + rng.normal(size=(3, 3)) * 0.05, jnp.float32)
+        t = jnp.zeros(3, jnp.float32)
+        with precision_scope(jax.lax.Precision.DEFAULT), storage_scope(jnp.bfloat16):
+
+            def one(a, b, f):
+                oa, ob = W.warp_affine_field_pair(a, b, A, t, f, f, f)
+                return oa.astype(jnp.float32), ob.astype(jnp.float32)
+
+            fn = jax.vmap(one)
+            sec, _ = timeit(
+                lambda c: (*fn(c[0], c[1], c[2]), c[2]), (x, y, d), iters=args.iters
+            )
     elif v == "pad":
         R = S * S
 
@@ -226,7 +293,7 @@ def main():
     per_vol = sec / B
     print(
         f"{v}: {sec*1e3:.3f} ms/iter total, {per_vol*1e3:.3f} ms/vol "
-        f"(B={B}, {S}^3, v2_forced={W._FORCE_V2})"
+        f"(B={B}, {S}^3)"
     )
 
 
