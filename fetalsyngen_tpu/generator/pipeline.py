@@ -155,6 +155,81 @@ def _nonlin_field(key: jax.Array, p: GenParams, cfg: GeneratorCfg):
         )
 
 
+def _deform_pair_small_fields(key, p, cfg, A, c1, c2, vol_lin, vol_near):
+    """Pair warp with all field mixing done on the SMALL displacement field.
+
+    The full-res fields the warp and mask consume are LINEAR in the small
+    field (upsample = per-axis matmuls), so every combination is formed at
+    small-field size first:
+
+    - L-mixed warp displacements (``warp_affine_field_pair_pre``), upsampled
+      straight into each pass's layout (permute the small field, zoom with
+      permuted factors) — no full-res combos, no displacement transposes;
+    - A-mixed coordinate deviations ``H = A F`` for the composite OOB mask
+      and margin shift (``deform_image``'s clamp + ``floor(min(coord))``
+      semantics, ``affine_nonrigid.py:327-366``).
+
+    Positions stay f32 (scopes suspended), like :func:`_nonlin_field`.
+    """
+    from ..ops.linops import precision_scope, storage_scope
+    from ..ops.warp import FIELD_LIM, ul_decompose, warp_affine_field_pair_pre
+
+    shape = cfg.shape
+    smax = cfg.deform.small_field_max()
+    f_small = p.nonlin_std * jax.random.normal(
+        field_key(key, "field_nonlin"), (3, *smax), jnp.float32
+    )
+    U, L = ul_decompose(A)
+    lim = FIELD_LIM
+    gx_s = f_small[0]
+    gy_s = L[1, 0] * f_small[0] + f_small[1]
+    gz_s = L[2, 0] * f_small[0] + L[2, 1] * f_small[1] + f_small[2]
+    h_s = jnp.einsum("ij,jabc->iabc", A, f_small, precision=jax.lax.Precision.HIGHEST)
+    factor = jnp.asarray(shape, jnp.float32) / p.size_F_small.astype(jnp.float32)
+
+    def zoomP(small, perm):
+        out_shape = tuple(shape[q] for q in perm)
+        fac = jnp.stack([factor[q] for q in perm])
+        in_shape = jnp.stack([p.size_F_small[q] for q in perm])
+        return zoom_mm(jnp.transpose(small, perm), out_shape, fac, in_shape=in_shape)
+
+    with precision_scope(None), storage_scope(None):
+        gyT = jnp.clip(zoomP(gy_s, (0, 2, 1)), -lim, lim)
+        gz = jnp.clip(zoomP(gz_s, (0, 1, 2)), -lim, lim)
+        gxT = jnp.clip(zoomP(gx_s, (1, 2, 0)), -lim, lim)
+        Hx = zoomP(h_s[0], (0, 1, 2))
+        Hy = zoomP(h_s[1], (0, 1, 2))
+        Hz = zoomP(h_s[2], (0, 1, 2))
+
+    xc, yc, zc = centered_grid(shape)
+    Xr = A[0, 0] * xc + A[0, 1] * yc + A[0, 2] * zc + c2[0] + Hx
+    Yr = A[1, 0] * xc + A[1, 1] * yc + A[1, 2] * zc + c2[1] + Hy
+    Zr = A[2, 0] * xc + A[2, 1] * yc + A[2, 2] * zc + c2[2] + Hz
+    Xc = jnp.clip(Xr, 0, shape[0] - 1)
+    Yc = jnp.clip(Yr, 0, shape[1] - 1)
+    Zc = jnp.clip(Zr, 0, shape[2] - 1)
+
+    if cfg.deform.margin_shift:
+        shift = jnp.stack(
+            [jnp.floor(jnp.min(Xc)), jnp.floor(jnp.min(Yc)), jnp.floor(jnp.min(Zc))]
+        )
+    else:
+        shift = jnp.zeros(3, jnp.float32)
+
+    ok = (
+        (Xc - shift[0] > 0)
+        & (Yc - shift[1] > 0)
+        & (Zc - shift[2] > 0)
+        & (Xc - shift[0] <= shape[0] - 1)
+        & (Yc - shift[1] <= shape[1] - 1)
+        & (Zc - shift[2] <= shape[2] - 1)
+    )
+
+    t = c2 - jnp.matmul(A, c1, precision=jax.lax.Precision.HIGHEST) - shift
+    a, b = warp_affine_field_pair_pre(vol_lin, vol_near, A, t, gyT, gz, gxT)
+    return [jnp.where(ok, a, 0.0)], [b.astype(vol_near.dtype)]
+
+
 def _deform_separable(
     key: jax.Array,
     p: GenParams,
@@ -167,12 +242,24 @@ def _deform_separable(
     Samples ``V[A (o - c1 + F(o)) + c2 - shift]`` like the reference
     (``deform_image``, ``affine_nonrigid.py:327-366``), with the composite OOB
     mask and margin shift computed closed-form.
+
+    Hot path (the image+segmentation pair): the L-mixed displacement combos
+    and the mask's A-mixed coordinate deviations are formed on the SMALL
+    field and upsampled directly into each consumer's layout — upsampling is
+    linear, so this matches the combine-at-full-res order to f32 association
+    while skipping the full-res combo pass, two full-volume displacement
+    transposes, and the three raw-field buffers entirely.
     """
     shape = cfg.shape
     dcfg = cfg.deform
     c1 = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
     c2 = c1  # random_shift degenerates to the center for shp == size
     A = make_affine_matrix(p.rotations, p.shears, p.scalings)
+
+    if dcfg.nonlinear_transform and len(volumes_linear) == 1 and len(volumes_nearest) == 1:
+        return _deform_pair_small_fields(
+            key, p, cfg, A, c1, c2, volumes_linear[0], volumes_nearest[0]
+        )
 
     if dcfg.nonlinear_transform:
         Fx, Fy, Fz = _nonlin_field(key, p, cfg)

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 128
 
 
-def _win_geometry(S: int, lane_block: int):
+def _win_geometry(S: int, lane_block: int, tight: bool = False):
     """(pad, width, WIN) for one pass: bounds chosen so every valid n0 fits.
 
     Proof sketch: the kernel reads its window at the 128-ALIGNED base and
@@ -60,12 +60,19 @@ def _win_geometry(S: int, lane_block: int):
     n0 <= S - 1 - lane0 covers any block minimum of valid rel
     (rel <= S - 1 - lane <= S-1-lane0); then base <= pad + S - 1,
     q*128 <= pad + S - 128 (pad + S is 128-divisible), and
-    q*128 + WIN <= S + pad + LB + 128 = width. lo clamp n0 >= -(pad + lane0)
-    is never binding for blocks holding an included element: bounds-included
-    rel > -lane - EPS_BOUNDS, so n0 >= -(lane0 + LB - 1) - 1 >= -(pad + lane0)
+    q*128 + WIN <= S + pad + LB + 128 = width — the high-side bound holds
+    for ANY 128-multiple pad. lo clamp n0 >= -(pad + lane0) is never binding
+    for blocks holding an included element: bounds-included rel >
+    -lane - EPS_BOUNDS, so n0 >= -(lane0 + LB - 1) - 1 >= -(pad + lane0)
     since pad >= LB (see _block_bounds).
+
+    ``tight`` is reserved for callers that can PROVE every row's shift
+    magnitude |rel| stays under 128 (then pad = 128 suffices); no current
+    caller can — the pipeline's L rows reach (|L20|+|L21|)*255 + FIELD_LIM
+    and the scanner's quarter-turn residual shears reach tan(22.5°)*cube —
+    so it must stay False.
     """
-    pad = max(PAD, lane_block)
+    pad = PAD if tight else max(PAD, lane_block)
     return pad, S + pad + lane_block + 128, lane_block + 256
 
 
@@ -97,7 +104,7 @@ TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
 def _hat_kernel(
     coef_ref, b_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
     *, S, H_rows, maxspan, nearest, with_disp, lane_block=128, lane_affine=False,
-    io_dtype=jnp.float32,
+    io_dtype=jnp.float32, block_rows=BLOCK_ROWS, tight=False,
 ):
     """One axis pass over a (BLOCK_ROWS, lane_block) output block.
 
@@ -131,9 +138,9 @@ def _hat_kernel(
     ck = coef_ref[0, 0, 2]
     bias = coef_ref[0, 0, 3]
 
-    B = BLOCK_ROWS
+    B = block_rows
     LB = lane_block
-    pad, width, WIN = _win_geometry(S, LB)
+    pad, width, WIN = _win_geometry(S, LB, tight)
 
     # stage edge-padded rows once per row block (lane dim iterates fastest)
     @pl.when(h_blk == 0)
@@ -268,7 +275,10 @@ def _hat_pass_jnp(x2d, pos, nearest):
 EPS_BOUNDS = 0.05
 
 
-def _block_bounds(coefs, per_slice, disp, lane_affine, R, OW, H_rows, S, lane_block):
+def _block_bounds(
+    coefs, per_slice, disp, lane_affine, R, OW, H_rows, S, lane_block,
+    block_rows=BLOCK_ROWS,
+):
     """Per-(row-block, lane-block) enclosing (lo, hi) of ``rel = pos - lane``
     over a block's valid elements, shipped to the hat kernels via SMEM.
 
@@ -293,7 +303,7 @@ def _block_bounds(coefs, per_slice, disp, lane_affine, R, OW, H_rows, S, lane_bl
     Mosaic/XLA scheduling differences in the position math can never
     exclude a kernel-valid element (padding taps carry zero hat weight).
     """
-    B = BLOCK_ROWS
+    B = block_rows
     nrb = R // B
     nh = OW // lane_block
     bps = H_rows // B  # row blocks per slice
@@ -409,6 +419,10 @@ def _hat_pass_impl(
 
     with_disp = disp is not None
     LB = lane_block
+    # 64 rows/block measured best on v5e: the passes are TAP-bound (window
+    # spans grow with the row extent — bigger blocks execute more taps per
+    # element), and the HBM copy floor is byte-bound, not step-bound.
+    BR = BLOCK_ROWS
     _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
         _hat_kernel,
@@ -420,40 +434,42 @@ def _hat_pass_impl(
         lane_block=LB,
         lane_affine=lane_affine,
         io_dtype=io_dtype,
+        block_rows=BR,
     )
     if lane_affine:
         disp2d = disp.astype(jnp.float32)
         disp_spec = pl.BlockSpec((3, LB), lambda r, h: (0, h), memory_space=pltpu.VMEM)
     elif with_disp:
         disp2d = disp.reshape(R, OW)
-        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+        disp_spec = pl.BlockSpec((BR, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
     else:
-        disp2d = jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
-        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+        disp2d = jnp.zeros((BR, LB), jnp.float32)
+        disp_spec = pl.BlockSpec((BR, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
     nh = OW // LB
     bounds = _block_bounds(
-        coefs, per_slice, disp2d if with_disp else None, lane_affine, R, OW, H, W, LB
+        coefs, per_slice, disp2d if with_disp else None, lane_affine, R, OW, H, W,
+        LB, BR,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, OW), io_dtype),
-        grid=(R // BLOCK_ROWS, OW // LB),
+        grid=(R // BR, OW // LB),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, 4),
-                (lambda r, h: (r // (H // BLOCK_ROWS), 0, 0))
+                (lambda r, h: (r // (H // BR), 0, 0))
                 if per_slice
                 else (lambda r, h: (0, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((1, 1, 2), lambda r, h: (r * nh + h, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM),
             disp_spec,
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BR, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
-            pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
+            pltpu.VMEM((BR, LB), jnp.float32),
+            pltpu.VMEM((BR, width), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(coefs.reshape(-1, 1, 4), bounds, x2d, disp2d)
@@ -500,23 +516,28 @@ def ul_decompose(A: jnp.ndarray):
 
 
 # Static pass windows: within-block position span bounds for the supported
-# deformation ranges (rot<=20deg, shear<=0.05, scale in [0.8, 1.25]) at the
-# v1 kernel's (BLOCK_ROWS=64, 128) blocks:
-#   U passes:  |diag-1|*127 (lanes) + |offdiag|*63 (rows) + 4  (~39)
-#   L passes:  unit lane slope; |L offdiag|*63 + 4
-#   field:     unit lane slope + 2*FIELD_LIM + |L|*63 + 4      (~39)
-# Span overflow (exotic configs) degrades to a clamped tap, not zeros.
-MAXSPAN_U = 48
-MAXSPAN_L = 48
-MAXSPAN_FIELD = 48
+# deformation ranges (rot<=20deg per axis, shear<=0.02, scale in [0.9, 1.1];
+# empirical corner sweep gives |L offdiag| <= 0.53, |U offdiag| <= 0.55,
+# |U diag - 1| <= 0.4). Within a block only row_j and the lane extent swing
+# the position — row_i is constant (blocks never straddle slices). Budgets
+# are sized for up-to-128-row blocks (row_j <= 127; lane terms apply only
+# to non-unit-slope passes, which use 128-lane blocks), so BLOCK_ROWS can be
+# raised without revisiting them; at the shipped 64-row blocks actual worst
+# cases are ~half:
+#   U passes:  |diag-1|*127 (lanes) + |offdiag|*127 (rows) + 4   (~125)
+#   L passes:  unit lane slope; |L offdiag|*127 + 4              (~71)
+#   field:     unit lane slope + 2*FIELD_LIM + |L|*127 + 4       (~99)
+# Span overflow (exotic configs) degrades to a clamped tap, not zeros; the
+# adaptive span_dyn chunks skip what a block doesn't need, so the generous
+# static bounds cost little at runtime.
+MAXSPAN_U = 128
+MAXSPAN_L = 72
+MAXSPAN_FIELD = 104
 # Displacement fields are clipped to +-FIELD_LIM voxels: ~3.5 sigma of the
-# largest default nonlin_std (4.0) — beyond the field's realizable range —
-# chosen so 2*FIELD_LIM + |L|*31 + 4 fits the 48-tap field window.
+# largest default nonlin_std (4.0) — beyond the field's realizable range.
 FIELD_LIM = 14.0
-# The kernel computes one window per 32-row block; the static tap count must
-# cover the largest within-block position spread any supported pass can
-# produce (the adaptive span_dyn chunks then skip what a given block doesn't
-# need, so a generous static bound costs little at runtime).
+# Minimum static tap count: the adaptive span_dyn chunks skip what a given
+# block doesn't need, so a generous static bound costs little at runtime.
 V1_MINSPAN = 48
 
 
@@ -750,12 +771,17 @@ def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None, ou
     # raw row index: fold into the centered builder via bias' = bias + amount*c
     c_fix = (J - 1) / 2.0
     Ms = _shear_matrices(J, OK, S, amount, bias + amount * c_fix, c_fix, modes, slope=slope)
-    from .linops import _prec
+    from .linops import einsum_store
 
-    prec = _prec()
+    # einsum_store: under the stream's bf16 storage scope the (J,K,S)
+    # operator materializes in bf16 (the cast fuses into its elementwise
+    # producer) and the pass intermediates stay bf16 — HALF the HBM traffic
+    # of this bandwidth-bound stage. Nearest-mode one-hot rows and small-int
+    # label values are exact in bf16; outside a scope the f32 contract is
+    # untouched.
     spec = f"jks,ijs->{out_order}"
-    oa = jnp.einsum(spec, Ms[modes[0]], xa, precision=prec)
-    ob = jnp.einsum(spec, Ms[modes[1]], xb, precision=prec)
+    oa = einsum_store(spec, Ms[modes[0]], xa)
+    ob = einsum_store(spec, Ms[modes[1]], xb)
     return oa, ob
 
 
@@ -1095,13 +1121,13 @@ def _hat_pair_kernel(
     sa_ref, sb_ref,
     *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128,
     lane_affine=False,
-    io_dtype=jnp.float32,
+    io_dtype=jnp.float32, block_rows=BLOCK_ROWS,
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
     ci, cj, ck, bias = (coef_ref[0, 0, i] for i in range(4))
 
-    B = BLOCK_ROWS
+    B = block_rows
     LB = lane_block
     pad, width, WIN = _win_geometry(S, LB)
 
@@ -1259,6 +1285,10 @@ def _hat_pass_pair_impl(
     with_disp = disp is not None
     lane_affine = with_disp and disp.ndim == 2 and disp.shape[0] == 3
     LB = lane_block
+    # 64 rows/block measured best on v5e: the passes are TAP-bound (window
+    # spans grow with the row extent — bigger blocks execute more taps per
+    # element), and the HBM copy floor is byte-bound, not step-bound.
+    BR = BLOCK_ROWS
     _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
         _hat_pair_kernel,
@@ -1270,19 +1300,20 @@ def _hat_pass_pair_impl(
         lane_block=LB,
         lane_affine=lane_affine,
         io_dtype=io_dtype,
+        block_rows=BR,
     )
     if lane_affine:
         disp2d = disp.astype(jnp.float32)
         disp_spec = pl.BlockSpec((3, LB), lambda r, h: (0, h), memory_space=pltpu.VMEM)
     elif with_disp:
         disp2d = disp.reshape(R, OW)
-        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+        disp_spec = pl.BlockSpec((BR, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
     else:
-        disp2d = jnp.zeros((BLOCK_ROWS, LB), jnp.float32)
-        disp_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
-    raw = pl.BlockSpec((BLOCK_ROWS, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BLOCK_ROWS, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
-    rows_per_slice = H // BLOCK_ROWS
+        disp2d = jnp.zeros((BR, LB), jnp.float32)
+        disp_spec = pl.BlockSpec((BR, LB), lambda r, h: (0, 0), memory_space=pltpu.VMEM)
+    raw = pl.BlockSpec((BR, W), lambda r, h: (r, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BR, LB), lambda r, h: (r, h), memory_space=pltpu.VMEM)
+    rows_per_slice = H // BR
     # (N, 1, 4) table + (1, 1, 4) block: trailing block dims equal the array
     # dims, satisfying Mosaic's tiling rule (a (1, 4) block over (N, 4) does
     # not lower on real hardware when N > 1).
@@ -1293,7 +1324,8 @@ def _hat_pass_pair_impl(
     )
     nh = OW // LB
     bounds = _block_bounds(
-        coefs_arr, per_slice, disp2d if with_disp else None, lane_affine, R, OW, H, W, LB
+        coefs_arr, per_slice, disp2d if with_disp else None, lane_affine, R, OW, H,
+        W, LB, BR,
     )
     oa, ob = pl.pallas_call(
         kernel,
@@ -1301,7 +1333,7 @@ def _hat_pass_pair_impl(
             jax.ShapeDtypeStruct((R, OW), io_dtype),
             jax.ShapeDtypeStruct((R, OW), io_dtype),
         ),
-        grid=(R // BLOCK_ROWS, OW // LB),
+        grid=(R // BR, OW // LB),
         in_specs=[
             coef_spec,
             pl.BlockSpec((1, 1, 2), lambda r, h: (r * nh + h, 0, 0), memory_space=pltpu.SMEM),
@@ -1311,10 +1343,10 @@ def _hat_pass_pair_impl(
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
-            pltpu.VMEM((BLOCK_ROWS, LB), jnp.float32),
-            pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
-            pltpu.VMEM((BLOCK_ROWS, width), jnp.float32),
+            pltpu.VMEM((BR, LB), jnp.float32),
+            pltpu.VMEM((BR, LB), jnp.float32),
+            pltpu.VMEM((BR, width), jnp.float32),
+            pltpu.VMEM((BR, width), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(coefs_arr.reshape(-1, 1, 4), bounds, xa, xb, disp2d)
@@ -1325,9 +1357,34 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     """Fused affine+field warp of (linear, nearest) volume pair — 6 shared
     passes (see :func:`warp_affine_field_separable`).
 
-    The U-z and U-y passes carry no displacement and no row_i term, so they
-    run as (batched) MXU matmuls; U-x (two row terms) and the three
-    displacement-carrying L passes use the hat kernel.
+    Builds the L-mixed displacement combos at FULL resolution and transposes
+    them into the pass layouts. The pipeline's hot path avoids this: it
+    combines the SMALL fields before upsampling (zoom is linear, so the
+    results agree to f32 association) and upsamples directly into each pass's
+    layout — see :func:`warp_affine_field_pair_pre`.
+    """
+    U, L = ul_decompose(A)
+    lim = FIELD_LIM
+    gx = jnp.clip(Fx, -lim, lim)
+    gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
+    gz = jnp.clip(L[2, 0] * Fx + L[2, 1] * Fy + Fz, -lim, lim)
+    return warp_affine_field_pair_pre(
+        va, vb, A, t,
+        jnp.transpose(gy, (0, 2, 1)), gz, jnp.transpose(gx, (1, 2, 0)),
+    )
+
+
+def warp_affine_field_pair_pre(va, vb, A, t, gyT, gz, gxT):
+    """Fused affine+field warp of a (linear, nearest) pair from
+    PRE-COMBINED, PRE-LAYOUTED displacement fields:
+
+    - ``gyT`` = clip(L10*Fx + Fy, +-FIELD_LIM) in (D, W, H) layout,
+    - ``gz``  = clip(L20*Fx + L21*Fy + Fz, ...) in (D, H, W) layout,
+    - ``gxT`` = clip(Fx, ...) in (H, W, D) layout,
+
+    with L from :func:`ul_decompose`. The U-z and U-y passes carry no
+    displacement and no row_i term, so they run as (batched) MXU matmuls;
+    the three displacement-carrying L passes use the hat kernel.
     """
     D, H, W = va.shape
     U, L = ul_decompose(A)
@@ -1335,10 +1392,6 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     a = va.astype(jnp.float32)
     b = vb.astype(jnp.float32)
     modes = (False, True)
-    lim = FIELD_LIM
-    gx = jnp.clip(Fx, -lim, lim)
-    gy = jnp.clip(L[1, 0] * Fx + Fy, -lim, lim)
-    gz = jnp.clip(L[2, 0] * Fx + L[2, 1] * Fy + Fz, -lim, lim)
 
     def tp(x, p):
         return jnp.transpose(x, p)
@@ -1358,7 +1411,7 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     a, b = _row_affine_matmul_pair(a, b, 1.0, U[0, 2], 0.0, modes, out_order="jik")  # (j,k,i), row k
     a, b = _row_affine_matmul_pair(a, b, U[0, 0], U[0, 1], t[0], modes, out_order="kij")  # (k,j,i), row j
     a, b = hat_pass_pair(
-        a, b, (L[1, 0], 0.0, 1.0, 0.0), jnp.transpose(gy, (0, 2, 1)), (D, W, H),
+        a, b, (L[1, 0], 0.0, 1.0, 0.0), gyT, (D, W, H),
         MAXSPAN_FIELD, unit_slope=True,
     )
     a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
@@ -1367,7 +1420,7 @@ def warp_affine_field_pair(va, vb, A, t, Fx, Fy, Fz):
     )
     a, b = tp(a, (1, 2, 0)), tp(b, (1, 2, 0))
     a, b = hat_pass_pair(
-        a, b, (0.0, 0.0, 1.0, 0.0), jnp.transpose(gx, (1, 2, 0)), (H, W, D),
+        a, b, (0.0, 0.0, 1.0, 0.0), gxT, (H, W, D),
         MAXSPAN_FIELD, unit_slope=True,
     )
     return jnp.transpose(a, (2, 0, 1)), jnp.transpose(b, (2, 0, 1)).astype(vb.dtype)

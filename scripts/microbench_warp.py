@@ -88,9 +88,20 @@ def main():
     elif v == "transpose_rows":  # leading-dims swap (row permutation, lanes kept)
         fn = lambda a: jnp.transpose(a, (0, 2, 1, 3)) + 0.0
         sec, _ = timeit(lambda c: fn(c), x, iters=args.iters)
-    elif v in ("pair_l_unit", "pair_l_unit_bf16"):  # the REAL pipeline L pass
+    elif v in ("pair_l_unit", "pair_l_unit_bf16", "pair_l_unit_zero", "pair_l_unit_smooth"):
+        # the REAL pipeline L pass; _zero = no-op field (minimal span),
+        # _smooth = realistic upsampled low-res field
         from fetalsyngen_tpu.ops.linops import storage_scope
 
+        if v.endswith("zero"):
+            d = jnp.zeros_like(d)
+        elif v.endswith("smooth"):
+            from fetalsyngen_tpu.ops.linops import zoom_mm
+
+            sm = 12
+            small = jnp.asarray(rng.normal(size=(B, sm, sm, sm)) * 4.0, jnp.float32)
+            factor = jnp.full((3,), S / sm, jnp.float32)
+            d = jax.vmap(lambda f: zoom_mm(f, shape, factor))(small)
         store = jnp.bfloat16 if v.endswith("bf16") else None
         with storage_scope(store):
             fn = jax.vmap(
@@ -99,9 +110,12 @@ def main():
                     unit_slope=True,
                 )
             )
-            sec, _ = timeit(
-                lambda c: (*fn(c[0], c[1], c[2])[:2], c[2]), (x, y, d), iters=args.iters
-            )
+
+            def step(c):
+                oa, ob = fn(c[0], c[1], c[2])
+                return oa.astype(jnp.float32), ob.astype(jnp.float32), c[2]
+
+            sec, _ = timeit(step, (x, y, d), iters=args.iters)
     elif v in ("u_stage", "u_stage_bf16"):  # the 4-matmul U stage of the pair warp
         from fetalsyngen_tpu.ops.linops import storage_scope
 
@@ -166,6 +180,84 @@ def main():
 
         fn = jax.vmap(one)
         sec, _ = timeit(lambda c: (*fn(c[0], c[1], c[2]), c[2]), (x, y, d), iters=args.iters)
+    elif v.startswith("probe2_"):
+        # Floor probes matching the CURRENT pair-kernel structure at
+        # (BR=128, LB=256): copy = raw in->out; stage = edge-padded scratch
+        # staging + copy-from-scratch; taps<N> = stage + pos math + N taps.
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        BR, LB = int(os.environ.get("PROBE_BR", 128)), 256
+        R = S * S
+        pad, width, WIN = W._win_geometry(S, LB)
+        mode = v[len("probe2_") :]
+        ntaps = int(mode[4:]) if mode.startswith("taps") else 0
+
+        def probe_kernel(xa_ref, xb_ref, oa_ref, ob_ref, sa_ref, sb_ref, *, mode):
+            if mode == "copy":
+                oa_ref[:] = xa_ref[:] * 2.0
+                ob_ref[:] = xb_ref[:] * 2.0
+                return
+            for x_ref, s_ref in ((xa_ref, sa_ref), (xb_ref, sb_ref)):
+                xf = x_ref[:]
+                s_ref[:, pad : pad + S] = xf
+                s_ref[:, :pad] = jnp.broadcast_to(xf[:, :1], (BR, pad))
+                s_ref[:, pad + S :] = jnp.broadcast_to(xf[:, S - 1 : S], (BR, width - pad - S))
+            if mode == "stage":
+                oa_ref[:] = sa_ref[:, pad : pad + S]
+                ob_ref[:] = sb_ref[:, pad : pad + S]
+                return
+            # pos math + N taps via unaligned window slices (the real loop)
+            r_blk = pl.program_id(0)
+            rows = r_blk * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, LB), 0)
+            row_j = (rows % S).astype(jnp.float32)
+            lanes_f = jax.lax.broadcasted_iota(jnp.int32, (BR, LB), 1).astype(jnp.float32)
+            pos = 0.07 * row_j + lanes_f + 0.3
+            n0 = jnp.int32(-1)
+            base = pad + n0
+            q = base // 128
+            off = base - q * 128
+            wa = sa_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
+            wb = sb_ref[:, pl.ds(pl.multiple_of(q * 128, 128), WIN)]
+            d0 = pos - lanes_f - n0.astype(jnp.float32) + off.astype(jnp.float32)
+            acc_a = jnp.zeros((BR, LB), jnp.float32)
+            acc_b = jnp.zeros((BR, LB), jnp.float32)
+            for m in range(ntaps):
+                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
+                acc_a = acc_a + wgt * wa[:, m : m + LB]
+                acc_b = acc_b + wgt * wb[:, m : m + LB]
+            oa_ref[:] = acc_a
+            ob_ref[:] = acc_b
+
+        call = pl.pallas_call(
+            ft.partial(probe_kernel, mode=mode),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, S), jnp.float32),
+                jax.ShapeDtypeStruct((R, S), jnp.float32),
+            ),
+            grid=(R // BR,),
+            in_specs=[
+                pl.BlockSpec((BR, S), lambda r: (r, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BR, S), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BR, S), lambda r: (r, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BR, S), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BR, width), jnp.float32),
+                pltpu.VMEM((BR, width), jnp.float32),
+            ],
+        )
+
+        def one(a, b):
+            oa, ob = call(a.reshape(R, S), b.reshape(R, S))
+            return oa.reshape(shape), ob.reshape(shape)
+
+        fn = jax.vmap(one)
+        sec, _ = timeit(lambda c: fn(c[0], c[1]), (x, y), iters=args.iters)
     elif v.startswith("probe_"):
         # Stripped-down kernels isolating v2 cost components.
         import functools as ft
