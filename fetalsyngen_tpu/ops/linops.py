@@ -134,7 +134,19 @@ def einsum_store(
     d = _store_dtype() if store is _UNSET else store
     if d is None:
         return jnp.einsum(spec, M, x, precision=_prec())
-    y = jnp.einsum(spec, M.astype(d), x.astype(d), preferred_element_type=jnp.float32)
+    if jax.default_backend() == "cpu":
+        # XLA:CPU's DotThunk cannot execute bf16 x bf16 -> f32 on some hosts.
+        # Products of two bf16 values are exact in f32, so contracting the
+        # NARROWED operands in f32 is the same computation up to accumulation
+        # order; only the CPU test/fallback path takes this branch.
+        y = jnp.einsum(
+            spec,
+            M.astype(d).astype(jnp.float32),
+            x.astype(d).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        y = jnp.einsum(spec, M.astype(d), x.astype(d), preferred_element_type=jnp.float32)
     return y if out_f32 else y.astype(d)
 
 
