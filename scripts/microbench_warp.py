@@ -128,7 +128,7 @@ def main():
                 a, b = W._row_affine_matmul_pair(a, b, 0.95, 0.06, 0.1, modes, out_order="kji")
                 a, b = W._row_affine_matmul_pair(a, b, 1.0, 0.04, 0.0, modes, out_order="jik")
                 a, b = W._row_affine_matmul_pair(a, b, 1.02, -0.05, 0.2, modes, out_order="kij")
-                return a, b
+                return a.astype(jnp.float32), b.astype(jnp.float32)
 
             fn = jax.vmap(one)
             sec, _ = timeit(lambda c: fn(c[0], c[1]), (x, y), iters=args.iters)
