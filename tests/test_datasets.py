@@ -130,7 +130,7 @@ class TestConfigSystem:
         assert gen["spatial_deform"]["size"] == [256, 256, 256]
         assert gen["spatial_deform"]["device"] is None  # interpolated from ${..device}
 
-    def test_full_instantiate(self, bids_root):
+    def _instantiate_ds(self, bids_root, artifact_probs=None):
         cfg = resolve_interpolations(load_yaml("configs/dataset/synth_train.yaml"))
         # rewire to the fixture tree and small shape
         cfg["bids_path"] = str(bids_root)
@@ -139,12 +139,28 @@ class TestConfigSystem:
         gen["shape"] = list(SHAPE)
         gen["spatial_deform"]["size"] = list(SHAPE)
         gen["intensity_generator"]["max_subclusters"] = 2
+        if artifact_probs is not None:
+            for k in ("blur_cortex", "struct_noise", "simulate_motion", "boundaries"):
+                if k in gen and isinstance(gen[k], dict) and "prob" in gen[k]:
+                    gen[k]["prob"] = artifact_probs
         from fetalsyngen_tpu.config import instantiate
 
         generator = instantiate(gen)
         cfg.pop("generator")
-        ds = instantiate(cfg, generator=generator)
+        return instantiate(cfg, generator=generator)
+
+    def test_full_instantiate(self, bids_root):
+        # Artifact probs forced to 0 so the quick gate never pays the
+        # minutes-long cold SimulateMotion compile; the artifact-enabled
+        # sample path is covered by test_full_instantiate_with_artifacts.
+        ds = self._instantiate_ds(bids_root, artifact_probs=0.0)
         assert isinstance(ds, FetalSynthDataset)
+        item = ds[0]
+        assert item["image"].shape == (1, *SHAPE)
+
+    @pytest.mark.slow
+    def test_full_instantiate_with_artifacts(self, bids_root):
+        ds = self._instantiate_ds(bids_root, artifact_probs=1.0)
         item = ds[0]
         assert item["image"].shape == (1, *SHAPE)
 
