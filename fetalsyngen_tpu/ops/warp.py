@@ -99,12 +99,16 @@ BLOCK_ROWS = 64
 
 
 TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
+# Finer chunk for the deform FIELD passes: after the L21 peel their adaptive
+# spans are the field swing alone (~6-15 taps), where half-empty 8-chunks
+# waste ~10% of the pass (measured 2.01 -> 1.82 ms/vol at 256^3 on v5e).
+FIELD_TAP_CHUNK = 4
 
 
 def _hat_kernel(
     coef_ref, b_ref, x_ref, disp_ref, o_ref, acc_ref, s_ref,
     *, S, H_rows, maxspan, nearest, with_disp, lane_block=128, lane_affine=False,
-    io_dtype=jnp.float32, block_rows=BLOCK_ROWS, tight=False,
+    io_dtype=jnp.float32, block_rows=BLOCK_ROWS, tight=False, tap_chunk=TAP_CHUNK,
 ):
     """One axis pass over a (BLOCK_ROWS, lane_block) output block.
 
@@ -208,24 +212,24 @@ def _hat_kernel(
         ri_rel = jnp.clip(
             jnp.round(pos) - lanes_f - n0.astype(jnp.float32), 0.0, maxspan - 1.0
         ) + off_f
-        for c0 in range(0, maxspan + 128, TAP_CHUNK):
+        for c0 in range(0, maxspan + 128, tap_chunk):
 
-            @pl.when(jnp.logical_and(c0 < hi_c, c0 + TAP_CHUNK > lo_c))
+            @pl.when(jnp.logical_and(c0 < hi_c, c0 + tap_chunk > lo_c))
             def _chunk(c0=c0):
                 acc = acc_ref[:]
-                for m in range(c0, c0 + TAP_CHUNK):
+                for m in range(c0, c0 + tap_chunk):
                     wgt = (ri_rel == float(m)).astype(jnp.float32)
                     acc = acc + wgt * win[:, m : m + LB]
                 acc_ref[:] = acc
 
     else:
         d0 = jnp.clip(rel - n0.astype(jnp.float32), 0.0, maxspan - 1.0) + off_f
-        for c0 in range(0, maxspan + 128, TAP_CHUNK):
+        for c0 in range(0, maxspan + 128, tap_chunk):
 
-            @pl.when(jnp.logical_and(c0 < hi_c, c0 + TAP_CHUNK > lo_c))
+            @pl.when(jnp.logical_and(c0 < hi_c, c0 + tap_chunk > lo_c))
             def _chunk(c0=c0):
                 acc = acc_ref[:]
-                for m in range(c0, c0 + TAP_CHUNK):
+                for m in range(c0, c0 + tap_chunk):
                     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
                     acc = acc + wgt * win[:, m : m + LB]
                 acc_ref[:] = acc
@@ -765,6 +769,7 @@ def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None, ou
     x layouts: (I, J, S) -> axes (i, j, k=resampled) emitted in
     ``out_order`` — a permutation string over "ijk"; a non-default order
     folds the caller's follow-up transpose into the matmul epilogue.
+    ``xb=None`` runs the single-operand form (returns (oa, None)).
     """
     J, S = xa.shape[1], xa.shape[2]
     OK = S if out_len is None else out_len
@@ -781,6 +786,8 @@ def _row_affine_matmul_pair(xa, xb, slope, amount, bias, modes, out_len=None, ou
     # untouched.
     spec = f"jks,ijs->{out_order}"
     oa = einsum_store(spec, Ms[modes[0]], xa)
+    if xb is None:
+        return oa, None
     ob = einsum_store(spec, Ms[modes[1]], xb)
     return oa, ob
 
@@ -1121,7 +1128,7 @@ def _hat_pair_kernel(
     sa_ref, sb_ref,
     *, S, H_rows, maxspan, with_disp, modes=(False, True), lane_block=128,
     lane_affine=False,
-    io_dtype=jnp.float32, block_rows=BLOCK_ROWS,
+    io_dtype=jnp.float32, block_rows=BLOCK_ROWS, tap_chunk=TAP_CHUNK,
 ):
     r_blk = pl.program_id(0)
     h_blk = pl.program_id(1)
@@ -1188,13 +1195,13 @@ def _hat_pair_kernel(
     hi_c = off + jnp.minimum(span_dyn, maxspan)
     acc_a_ref[:] = jnp.zeros((B, LB), jnp.float32)
     acc_b_ref[:] = jnp.zeros((B, LB), jnp.float32)
-    for c0 in range(0, maxspan + 128, TAP_CHUNK):
+    for c0 in range(0, maxspan + 128, tap_chunk):
 
-        @pl.when(jnp.logical_and(c0 < hi_c, c0 + TAP_CHUNK > lo_c))
+        @pl.when(jnp.logical_and(c0 < hi_c, c0 + tap_chunk > lo_c))
         def _chunk(c0=c0):
             acc_a = acc_a_ref[:]
             acc_b = acc_b_ref[:]
-            for m in range(c0, c0 + TAP_CHUNK):
+            for m in range(c0, c0 + tap_chunk):
                 wgt = jnp.maximum(0.0, 1.0 - jnp.abs(d0 - float(m)))
                 nsel = ri_rel == float(m)
                 if modes[0]:
@@ -1225,7 +1232,8 @@ def _hat_pair_kernel(
 
 
 def hat_pass_pair(
-    va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True), unit_slope=False
+    va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True),
+    unit_slope=False, tap_chunk=TAP_CHUNK,
 ):
     """See :func:`_hat_pass_pair_impl`; this wrapper reads the storage scope
     at caller trace time and threads it as a static arg."""
@@ -1233,17 +1241,19 @@ def hat_pass_pair(
 
     return _hat_pass_pair_impl(
         va, vb, coefs, disp, shape, maxspan, out_len=out_len, modes=modes,
-        unit_slope=unit_slope, store=_store_dtype(),
+        unit_slope=unit_slope, store=_store_dtype(), tap_chunk=tap_chunk,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "maxspan", "out_len", "modes", "unit_slope", "store"),
+    static_argnames=(
+        "shape", "maxspan", "out_len", "modes", "unit_slope", "store", "tap_chunk"
+    ),
 )
 def _hat_pass_pair_impl(
     va, vb, coefs, disp, shape, maxspan, out_len=None, modes=(False, True),
-    unit_slope=False, store=None,
+    unit_slope=False, store=None, tap_chunk=TAP_CHUNK,
 ):
     """One axis pass over TWO volumes sharing positions; per-operand mode
     (False = linear, True = nearest). Default (linear, nearest) serves the
@@ -1301,6 +1311,7 @@ def _hat_pass_pair_impl(
         lane_affine=lane_affine,
         io_dtype=io_dtype,
         block_rows=BR,
+        tap_chunk=tap_chunk,
     )
     if lane_affine:
         disp2d = disp.astype(jnp.float32)
@@ -1385,6 +1396,17 @@ def warp_affine_field_pair_pre(va, vb, A, t, gyT, gz, gxT):
     with L from :func:`ul_decompose`. The U-z and U-y passes carry no
     displacement and no row_i term, so they run as (batched) MXU matmuls;
     the three displacement-carrying L passes use the hat kernel.
+
+    The L-z pass's ``L21*j`` row term is peeled into its own row-affine MXU
+    matmul (``Y[i,j,k] = X[i,j,k + L21*j]`` then the hat pass samples
+    ``Y[i, j, L20*i + k + gz]`` — positions compose exactly). Within a hat
+    block ``row_i`` is constant, so after the peel every hat pass's in-block
+    position spread is the FIELD swing alone: measured 3.15 -> ~2.2 ms/vol
+    on the L-z pass at 256^3 (the L21 term added up to |L21|*63 taps/block).
+    Cost: one extra linear interpolation along k — the same sheared-kernel
+    error class as the U-x split below. The field passes also run a finer
+    tap-chunk (4): their adaptive spans are short, so half-empty 8-chunks
+    wasted ~10% of the pass.
     """
     D, H, W = va.shape
     U, L = ul_decompose(A)
@@ -1412,15 +1434,19 @@ def warp_affine_field_pair_pre(va, vb, A, t, gyT, gz, gxT):
     a, b = _row_affine_matmul_pair(a, b, U[0, 0], U[0, 1], t[0], modes, out_order="kij")  # (k,j,i), row j
     a, b = hat_pass_pair(
         a, b, (L[1, 0], 0.0, 1.0, 0.0), gyT, (D, W, H),
-        MAXSPAN_FIELD, unit_slope=True,
+        MAXSPAN_FIELD, unit_slope=True, tap_chunk=FIELD_TAP_CHUNK,
     )
     a, b = tp(a, (0, 2, 1)), tp(b, (0, 2, 1))
+    # L-z peel: k <- k + L21*j on the MXU, then the hat pass carries only
+    # the block-constant L20*i term + the field
+    a, b = _row_affine_matmul_pair(a, b, 1.0, L[2, 1], 0.0, modes, out_order="ijk")
     a, b = hat_pass_pair(
-        a, b, (L[2, 0], L[2, 1], 1.0, 0.0), gz, (D, H, W), MAXSPAN_FIELD, unit_slope=True
+        a, b, (L[2, 0], 0.0, 1.0, 0.0), gz, (D, H, W), MAXSPAN_FIELD,
+        unit_slope=True, tap_chunk=FIELD_TAP_CHUNK,
     )
     a, b = tp(a, (1, 2, 0)), tp(b, (1, 2, 0))
     a, b = hat_pass_pair(
         a, b, (0.0, 0.0, 1.0, 0.0), gxT, (H, W, D),
-        MAXSPAN_FIELD, unit_slope=True,
+        MAXSPAN_FIELD, unit_slope=True, tap_chunk=FIELD_TAP_CHUNK,
     )
     return jnp.transpose(a, (2, 0, 1)), jnp.transpose(b, (2, 0, 1)).astype(vb.dtype)
