@@ -88,12 +88,16 @@ def test_hat_pass_matches_spec_at_large_shear(name, coefs, unit_slope):
 
 
 @pytest.mark.parametrize("unit_slope", [False, True])
-def test_hat_pair_matches_spec_at_large_shear(unit_slope):
+@pytest.mark.parametrize("tap_chunk", [8, 4])
+def test_hat_pair_matches_spec_at_large_shear(unit_slope, tap_chunk):
+    # tap_chunk=4 is the deform field-pass configuration (FIELD_TAP_CHUNK);
+    # chunk size must never change values, only predication granularity
     va, vb = _vol(2), _vol(3)
     disp = _smooth_disp(4.0, seed=4)
     coefs = (0.8, 0.05, 1.0, 5.0)
     oa, ob = W.hat_pass_pair(
-        va, vb, coefs, disp, SHAPE, 48, modes=(False, True), unit_slope=unit_slope
+        va, vb, coefs, disp, SHAPE, 48, modes=(False, True),
+        unit_slope=unit_slope, tap_chunk=tap_chunk,
     )
     x2 = SHAPE[2]
     ra = _jnp_reference(va.reshape(-1, x2), coefs, disp, SHAPE, False)
