@@ -660,13 +660,28 @@ def _recon_one(
     x = jnp.transpose(x, (0, 2, 1))  # (n, u, v)
     x = hat_pass(x, dv_tab, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
     x = jnp.transpose(x, (1, 2, 0))  # (u, v, n)
+    # This is the one pass with the slice axis on LANES; the hat kernels
+    # need a 128-multiple lane count (ops/warp._v1_ok), so a 32-granular
+    # ns_grid pads up to 128 here. Padded lanes carry zero value and zero
+    # keep weight — exactly what a 128 slice grid holds beyond ns — so the
+    # output on the real lanes is bit-identical to running at ns_grid=128.
+    nsp = -(-ns_grid // 128) * 128
+    keep_l = keep_f
+    dzr_l = dzr_tab
+    if nsp != ns_grid:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, nsp - ns_grid)))
+        keep_l = jnp.pad(keep_f, (0, nsp - ns_grid))
+        dzr_l = jnp.pad(dzr_tab, ((0, 0), (0, nsp - ns_grid)))
     w = jnp.broadcast_to(
-        keep_f[None, None, :], (cube, cube, ns_grid)
+        keep_l[None, None, :], (cube, cube, nsp)
     ).astype(jnp.float32)
     x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), dzr_tab,
-        (cube, cube, ns_grid), 48, modes=(False, False), unit_slope=True,
+        x, w, (0.0, 0.0, 1.0, 0.0), dzr_l,
+        (cube, cube, nsp), 48, modes=(False, False), unit_slope=True,
     )
+    if nsp != ns_grid:
+        x = x[..., :ns_grid]
+        w = w[..., :ns_grid]
     # n->z placement and the z-thickness recon PSF act on the same axis in
     # the same frame — one composed (cube, ns_grid) matmul for both, whose
     # einsum emits (z, v, u) directly (no separate transpose).

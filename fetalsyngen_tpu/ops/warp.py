@@ -355,13 +355,18 @@ def _block_bounds(
     return jnp.stack([mn, mx], axis=-1).reshape(-1, 1, 2)
 
 
-def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False):
+def hat_pass(
+    vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False,
+    tap_chunk=TAP_CHUNK,
+):
     """Resample the LAST axis of ``vol`` (D, H, W) at affine(+disp) positions.
 
     pos(i, j, k) = c0*i + c1*j + c2*k + c3 [+ disp[i,j,k]] in last-axis voxel
     units; edge-clamped interpolation (linear or nearest). ``out_len``
     optionally changes the resampled axis length (output (D, H, out_len)).
-    ``unit_slope=True``: see :func:`hat_pass_pair`.
+    ``unit_slope=True``: see :func:`hat_pass_pair`. ``tap_chunk``: taps per
+    predicated kernel chunk — finer chunks waste less work on small-span
+    passes (see FIELD_TAP_CHUNK).
 
     Honors :func:`linops.storage_scope` (bf16 HBM I/O; tap math stays f32).
     The scope is read HERE (caller trace time) and threaded into the jitted
@@ -371,17 +376,19 @@ def hat_pass(vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope
 
     return _hat_pass_impl(
         vol, coefs, disp, shape, maxspan, nearest, out_len=out_len,
-        unit_slope=unit_slope, store=_store_dtype(),
+        unit_slope=unit_slope, store=_store_dtype(), tap_chunk=tap_chunk,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "maxspan", "nearest", "out_len", "unit_slope", "store"),
+    static_argnames=(
+        "shape", "maxspan", "nearest", "out_len", "unit_slope", "store", "tap_chunk"
+    ),
 )
 def _hat_pass_impl(
     vol, coefs, disp, shape, maxspan, nearest, out_len=None, unit_slope=False,
-    store=None,
+    store=None, tap_chunk=TAP_CHUNK,
 ):
     D, H, W = shape
     OW = W if out_len is None else out_len
@@ -439,6 +446,7 @@ def _hat_pass_impl(
         lane_affine=lane_affine,
         io_dtype=io_dtype,
         block_rows=BR,
+        tap_chunk=tap_chunk,
     )
     if lane_affine:
         disp2d = disp.astype(jnp.float32)

@@ -295,9 +295,23 @@ class SyntheticStream:
                 c >= max(shape) for c in tiers
             ) else max(tiers)
         self.cube = int(cube)
-        self.ns_grid = int(
-            ns_grid if ns_grid is not None else getattr(self._sm, "ns_grid", 128)
-        )
+        if ns_grid is None:
+            # shape-aware slice grid: the scanner never produces more than
+            # ns = max(shape) * res / gap_min + 2 slices per stack
+            # (scanner.py Scanner.scan, reference simulate_reco.py:349-354),
+            # so padding the slice axis to a static 128 wastes 25-50% of
+            # every slice-space pass at the default config (<= 87 slices at
+            # shape 256, res 0.5, gap >= 1.5). Use the smallest 32-multiple
+            # that covers the config's worst case, capped at the engine
+            # default. The one pass with the slice axis on LANES pads to 128
+            # internally (_recon_one), so 32-granularity is safe.
+            ns_grid = getattr(self._sm, "ns_grid", 128)
+            if self._sm is not None:
+                sp = self._sm.scanner_args
+                res0 = float(self.cfg.resolution[0])
+                need = int(max(shape) * res0 / float(sp.gap_min)) + 2
+                ns_grid = min(ns_grid, max(64, -(-need // 32) * 32))
+        self.ns_grid = int(ns_grid)
         self._shape = shape
         # small px-frame tier: the smallest 128-multiple buffer holding the
         # volume; samples whose res_slice draw covers the FOV at that size

@@ -66,6 +66,31 @@ def test_stream_yields_batches(dataset):
 
 
 @pytest.mark.slow
+def test_stream_ns_grid_is_shape_aware(dataset, tmp_path_factory):
+    """The stream sizes the static slice grid from the config's worst case
+    (max(shape) * res / gap_min + 2, 32-granular, floored at 64) instead of
+    always padding to the engine default — the scanner never produces more
+    slices than that (reference simulate_reco.py:349-354)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_batched_artifacts import _tiny_motion
+
+    root = build_bids_tree(tmp_path_factory.mktemp("bids_nsg"))
+    gen = small_generator()
+    sm = _tiny_motion(prob=1.0)
+    sm.ns_grid = 128  # engine default: stream should derive a smaller grid
+    gen.artifacts["simulate_motion"] = sm
+    ds = FetalSynthDataset(str(root), gen, str(root / "derivatives" / "seeds"))
+    # gap_min = 1.5, shape 64, res 0.5 -> need = 23 -> 32-granular 32,
+    # floored at 64 (tiny-grid floor), capped by the engine default 128
+    stream = SyntheticStream(ds, batch_size=2, seed=0, prefetch=False)
+    assert stream.ns_grid == 64
+    # an explicit ns_grid always wins
+    stream = SyntheticStream(ds, batch_size=2, seed=0, prefetch=False, ns_grid=48)
+    assert stream.ns_grid == 48
+
+
 def test_stream_mixes_subjects_within_batch(dataset):
     """VERDICT weak #1: batch elements draw subjects independently, so a
     batch from a 2-subject dataset contains both subjects (within a few
