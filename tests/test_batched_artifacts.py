@@ -194,6 +194,50 @@ class TestMotionTraced:
                 band = np.where(ve > 0)[0]
                 assert np.array_equal(ve[band[1]:band[-1]], vc[band[1]:band[-1]])
 
+    def test_recon_one_ns_grid_pad_equivalence(self):
+        """A 32-granular slice grid must reconstruct identically to the same
+        stack padded onto a 128 grid: _recon_one pads the one lanes-on-slice-
+        axis pass internally, and padded lanes (zero value, zero keep) are
+        exactly what the bigger grid holds beyond ns."""
+        from fetalsyngen_tpu.generator.artifacts import scanner as sc
+
+        cube, out_shape = 64, (48, 48, 48)
+        ns_small, ns_big = 32, 128
+        rng = np.random.default_rng(7)
+        ns = 20  # real slices
+        slices_s = np.zeros((ns_small, cube, cube), np.float32)
+        slices_s[:ns] = rng.random((ns, cube, cube), np.float32) * 100
+        keep_s = (np.arange(ns_small) < ns).astype(np.float32)
+        G = np.zeros((ns_small, 3, 4), np.float32)
+        G[:, 0, 1] = rng.normal(0, 0.01, ns_small)
+        G[:, 0, 2] = rng.normal(0, 0.01, ns_small)
+        G[:, 0, 3] = 10.0 + 2.2 * np.arange(ns_small) + rng.normal(0, 0.5, ns_small)
+        G[:, 1, 3] = rng.normal(0, 1.0, ns_small)
+        G[:, 2, 3] = rng.normal(0, 1.0, ns_small)
+        # pad the same stack onto the big grid
+        pad = ns_big - ns_small
+        slices_b = np.pad(slices_s, ((0, pad), (0, 0), (0, 0)))
+        keep_b = np.pad(keep_s, (0, pad))
+        G_b = np.pad(G, ((0, pad), (0, 0), (0, 0)))
+        G_b[ns_small:, 0, 3] = 10.0 + 2.2 * np.arange(ns_small, ns_big)
+
+        args = (
+            jnp.float32(1.3), jnp.float32(2.2), jnp.float32(10.0),
+            jnp.asarray([1.2, 0.8], jnp.float32), jnp.int32(2),
+            jnp.asarray([0.05, -0.03, 0.08], jnp.float32), jnp.float32(1.0),
+            jnp.asarray([8.0, 8.5, 7.5], jnp.float32),
+        )
+        v_s, w_s = sc._recon_one(
+            jnp.asarray(slices_s), jnp.asarray(keep_s), jnp.asarray(G),
+            *args, cube, ns_small, out_shape,
+        )
+        v_b, w_b = sc._recon_one(
+            jnp.asarray(slices_b), jnp.asarray(keep_b), jnp.asarray(G_b),
+            *args, cube, ns_big, out_shape,
+        )
+        np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_b), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_b), atol=1e-5)
+
     def test_storage_scope_bf16_close_to_f32(self, vols):
         """The stream's bf16 intermediate-storage mode (linops.storage_scope)
         must track the f32 chain to interpolation-noise level: same keys ->
