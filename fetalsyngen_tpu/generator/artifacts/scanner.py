@@ -57,7 +57,10 @@ Pallas passes) covering the reference's dynamic FOV
 tier compiles once and extra FOV beyond the reference's ``ss`` is physically
 inert (validity thresholds are ratios, recon placement is extent-agnostic);
 slices are kept padded to ``ns_grid`` with a validity mask instead of
-compacted; merge-weight Gaussian centers use a device top-k instead of
+compacted (the stream sizes ``ns_grid`` to the config's worst case,
+``max(shape)*res/gap_min + 2`` rounded to 32 — see
+``parallel.input_pipeline.SyntheticStream``); merge-weight Gaussian centers
+use a device top-k instead of
 ``randperm`` (same distribution class).
 
 Replay: all host scalar draws derive from ``rng`` seeded by the artifact key;
