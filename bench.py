@@ -12,7 +12,7 @@ is device-side wall time (host-side `block_until_ready` is not reliable on
 tunneled platforms). The tunnel adds a ~20 ms CONSTANT per dispatch+fetch
 round trip (measured: an elementwise pass sweeps 118 -> 832 GB/s as the chain
 grows 6 -> 96 iterations), so the default chain length (24 iterations x batch
-4 = 96 volumes) is sized to amortize it below ~2%% of the reading; a
+4 = 96 volumes) is sized to amortize it below ~2% of the reading; a
 production user on a local chip never pays that constant.
 """
 

@@ -13,4 +13,4 @@ __all__ = [
     "resolve_interpolations",
 ]
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"

@@ -11,11 +11,11 @@ no-override path compiles exactly once and ``vmap``s over the batch).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from .config import GeneratorCfg
 
@@ -55,12 +55,16 @@ def field_key(key: jax.Array, name: str) -> jax.Array:
     return jax.random.fold_in(key, _TAGS[name])
 
 
-@struct.dataclass
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GenParams:
     """Dense per-sample generation parameters (all leaves are jnp arrays).
 
     Mirrors the reference's nested genparams dict flattened to fixed-shape
-    leaves so a batch of samples is just a stacked ``GenParams``.
+    leaves so a batch of samples is just a stacked ``GenParams``. A plain
+    frozen dataclass registered as a jax pytree (every field is a data
+    leaf) — the core package must import without flax, which is only an
+    optional ``train`` extra.
     """
 
     # seed_intensities (rand_gmm.py:120-145)

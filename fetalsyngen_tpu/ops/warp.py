@@ -1411,8 +1411,12 @@ def warp_affine_field_pair_pre(va, vb, A, t, gyT, gz, gxT):
     block ``row_i`` is constant, so after the peel every hat pass's in-block
     position spread is the FIELD swing alone: measured 3.15 -> ~2.2 ms/vol
     on the L-z pass at 256^3 (the L21 term added up to |L21|*63 taps/block).
-    Cost: one extra linear interpolation along k — the same sheared-kernel
-    error class as the U-x split below. The field passes also run a finer
+    Cost: one extra linear interpolation along k for the linear operand —
+    the same sheared-kernel error class as the U-x split below. The nearest
+    (label) operand likewise gains a chained rounding step:
+    ``round(round(k + L21*j) + ...)`` instead of one round of the composed
+    position, which can shift a label by one voxel near half-integer
+    positions. The field passes also run a finer
     tap-chunk (4): their adaptive spans are short, so half-empty 8-chunks
     wasted ~10% of the pass.
     """

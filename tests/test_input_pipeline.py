@@ -65,7 +65,6 @@ def test_stream_yields_batches(dataset):
     assert len(seen) > 1
 
 
-@pytest.mark.slow
 def test_stream_ns_grid_is_shape_aware(dataset, tmp_path_factory):
     """The stream sizes the static slice grid from the config's worst case
     (max(shape) * res / gap_min + 2, 32-granular, floored at 64) instead of
@@ -91,6 +90,7 @@ def test_stream_ns_grid_is_shape_aware(dataset, tmp_path_factory):
     assert stream.ns_grid == 48
 
 
+@pytest.mark.slow
 def test_stream_mixes_subjects_within_batch(dataset):
     """VERDICT weak #1: batch elements draw subjects independently, so a
     batch from a 2-subject dataset contains both subjects (within a few
