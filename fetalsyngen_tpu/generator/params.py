@@ -90,6 +90,7 @@ class GenParams:
     # resample_params (synthseg.py:63-80)
     resample_apply: jnp.ndarray  # () bool
     spacing: jnp.ndarray  # (3,)
+    new_size: jnp.ndarray  # (3,) int32 downsample grid (synthseg.py:84)
     blur_mult: jnp.ndarray  # () the (0.85 + 0.3 U) blur factor
     # noise_params (synthseg.py:218-223)
     noise_apply: jnp.ndarray  # () bool
@@ -106,6 +107,28 @@ def _bernoulli(key: jax.Array, name: str, p: float) -> jnp.ndarray:
     return _uniform(key, name) < p
 
 
+def resolve_new_size_override(ov: dict, cfg: GeneratorCfg) -> dict:
+    """Derive the ``new_size`` override from a CONCRETE ``spacing`` override.
+
+    The reference truncates the f64 quotient on host
+    (``synthseg.py:84``: ``(shape * res / spacing).astype(int)``); a host
+    genparams spacing must keep its full precision for this step — f64(1.2)
+    and f32(1.2) sit on opposite sides of the ``24 / 1.2`` truncation
+    boundary. Traced spacings (inside jit) fall through to the in-trace
+    exact-f32 law in :func:`sample_params`.
+    """
+    if "spacing" in ov and "new_size" not in ov and not isinstance(ov["spacing"], jax.core.Tracer):
+        import numpy as np
+
+        ov = dict(ov)
+        ov["new_size"] = (
+            np.asarray(cfg.shape)
+            * np.asarray(cfg.resolution, np.float64)
+            / np.asarray(ov["spacing"], np.float64)
+        ).astype(np.int32)
+    return ov
+
+
 def sample_params(key: jax.Array, cfg: GeneratorCfg, overrides: dict[str, Any] | None = None) -> GenParams:
     """Sample a full ``GenParams`` from ``key``; ``overrides`` pin values.
 
@@ -114,7 +137,7 @@ def sample_params(key: jax.Array, cfg: GeneratorCfg, overrides: dict[str, Any] |
     itself is also overridden — mirroring the reference contract.
     Traceable (jit/vmap-safe): the override key-set is Python-static.
     """
-    ov = dict(overrides or {})
+    ov = resolve_new_size_override(dict(overrides or {}), cfg)
 
     def get(name, sampler):
         if name in ov:
@@ -197,6 +220,22 @@ def sample_params(key: jax.Array, cfg: GeneratorCfg, overrides: dict[str, Any] |
         * _uniform(key, "spacing", (), rcfg.min_resolution, rcfg.max_resolution),
     )
     blur_mult = get("blur_mult", lambda: 0.85 + 0.3 * _uniform(key, "blur_mult"))
+    # downsample grid size: trunc(shape * res / spacing) (synthseg.py:84).
+    # The reference computes this in f64 on host; for in-trace draws
+    # floor_div_exact reproduces the f64-on-these-inputs law in f32 (plain
+    # f32 division can round ACROSS an integer boundary: 22/1.1f == 20.0).
+    # When spacing comes from a host genparams dict, synth_sample pre-computes
+    # the override from the full-precision host value, because f64(1.2) and
+    # f32(1.2) sit on opposite sides of a truncation boundary.
+    from ..ops.numerics import floor_div_exact
+
+    new_size = get(
+        "new_size",
+        lambda: floor_div_exact(
+            jnp.asarray(cfg.shape, jnp.float32) * jnp.asarray(cfg.resolution, jnp.float32),
+            spacing,
+        ),
+    )
 
     ncfg = cfg.noise
     noise_apply = gate("noise_apply", ncfg.prob, ("noise_std",))
@@ -221,6 +260,7 @@ def sample_params(key: jax.Array, cfg: GeneratorCfg, overrides: dict[str, Any] |
         bf_size=jnp.asarray(bf_size, jnp.int32),
         resample_apply=resample_apply,
         spacing=jnp.asarray(spacing, jnp.float32),
+        new_size=jnp.asarray(new_size, jnp.int32),
         blur_mult=jnp.asarray(blur_mult, jnp.float32).reshape(()),
         noise_apply=noise_apply,
         noise_std=jnp.asarray(noise_std, jnp.float32).reshape(()),

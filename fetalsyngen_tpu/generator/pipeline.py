@@ -403,8 +403,9 @@ def resample_noise_stage(
     # kernel; on a product grid that factorizes into three 1-D operators,
     # each an MXU matmul with the linear-mode OOB semantics folded into
     # zeroed rows.
-    new_size = (jnp.asarray(shape, jnp.float32) * in_res / p.spacing).astype(jnp.int32)
-    new_size = jnp.where(apply, new_size, jnp.asarray(shape, jnp.int32))
+    # downsample grid size: sampled/overridden in params (exact f64-law
+    # truncation, see sample_params); identity when the gate is off
+    new_size = jnp.where(apply, p.new_size, jnp.asarray(shape, jnp.int32))
     factors = new_size.astype(jnp.float32) / jnp.asarray(shape, jnp.float32)
 
     down_Ms = tuple(
@@ -574,7 +575,11 @@ def synth_sample(
     Returns:
         (output, segmentation, image_or_None, GenParams).
     """
-    ov = dict(sorted((overrides or {}).items()))
+    from .params import resolve_new_size_override
+
+    # host-precision new_size from a concrete spacing (must happen OUTSIDE
+    # jit — inside, sample_params only sees the f32 tracer)
+    ov = dict(sorted(resolve_new_size_override(overrides or {}, cfg).items()))
     names = tuple(ov.keys())
     values = tuple(jnp.asarray(v) for v in ov.values())
     with_image = image is not None

@@ -223,3 +223,44 @@ class TestScopeSafety:
         np.testing.assert_allclose(host, ref, rtol=1e-6, atol=1e-4)
         assert host.dtype == np.float32
         np.testing.assert_allclose(scoped, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_floor_div_exact_matches_f64_law():
+    """f32 floor-division with f64-correct truncation (ops/numerics.py).
+
+    Includes the observed failure case: 22 / 1.1f rounds to 20.0 in f32 but
+    the f64 quotient is 19.9999...; the reference's grid-size law
+    (synthseg.py:84) truncates it to 19.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fetalsyngen_tpu.ops.numerics import floor_div_exact
+
+    a = np.float32(22.0)
+    b = np.float32(1.1)
+    assert int(floor_div_exact(jnp.float32(a), jnp.float32(b))) == int(
+        np.float64(a) / np.float64(b)
+    ) == 19
+
+    rng = np.random.default_rng(0)
+    # random grid-law inputs: a = shape * res, b = spacing
+    shapes = rng.integers(16, 1537, size=3000).astype(np.float32)
+    res = rng.uniform(0.25, 4.0, size=3000).astype(np.float32)
+    spac = rng.uniform(0.25, 4.0, size=3000).astype(np.float32)
+    av = (shapes * res).astype(np.float32)
+    keep = (av / spac) < 4000  # stay in the documented quotient range
+    av, spac = av[keep], spac[keep]
+    want = (av.astype(np.float64) / spac.astype(np.float64)).astype(np.int32)
+    got = np.asarray(floor_div_exact(jnp.asarray(av), jnp.asarray(spac)))
+    np.testing.assert_array_equal(got, want)
+
+    # adversarial: quotients exactly on / within an ulp of integers
+    n = rng.integers(1, 2000, size=2000)
+    b2 = rng.uniform(0.3, 2.0, size=2000).astype(np.float32)
+    a2 = (n * b2.astype(np.float64)).astype(np.float32)  # a ~= n*b to f32 rounding
+    keep = (a2.astype(np.float64) / b2 < 4000) & (a2 > 0)
+    a2, b2 = a2[keep], b2[keep]
+    want = (a2.astype(np.float64) / b2.astype(np.float64)).astype(np.int32)
+    got = np.asarray(floor_div_exact(jnp.asarray(a2), jnp.asarray(b2)))
+    np.testing.assert_array_equal(got, want)
