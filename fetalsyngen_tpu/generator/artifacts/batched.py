@@ -20,8 +20,10 @@ rescale after all artifacts (``datasets.py:311-312``).
 
 Known deviations vs the host path (documented, stream-only):
 - randomness comes from the sample key, not a host NumPy stream -> stream
-  samples are NOT replayable through the genparams dict (use the dataset
-  path for replay);
+  samples are NOT replayable through the *genparams dict* (that surface
+  belongs to the dataset path); the stream has its own voxel-exact replay
+  via each batch's ``meta`` record (``SyntheticStream.replay_batch`` /
+  ``replay_sample`` re-run the recorded program inputs bit-for-bit);
 - the scanner runs on ONE static grid tier (default 384) — ``res_slice``
   draws needing a larger tier are clamped to the smallest resolution the
   tier covers (the host path serves the full range via per-scan tiers);
@@ -400,7 +402,7 @@ def _identity_stack_row(ns_grid: int):
 
 
 def pack_motion(
-    rng, B: int, shape, res: float, sm, cube: int, ns_grid: int,
+    rng, B: int, shape, res: float, sm, cube: int | tuple, ns_grid: int,
     small_cube: int | None = None,
 ) -> dict:
     """Host geometry for one batch of the traced motion engine.
@@ -413,9 +415,15 @@ def pack_motion(
     packed state — one geometry transfer and zero mid-scan host syncs per
     batch.
 
-    ``res_slice`` draws below what the single static tier covers are clamped
-    to ``diag/cube * res`` (documented stream deviation; the host path serves
-    the full range via per-scan tiers).
+    ``cube`` may be a TUPLE of static grid tiers (like the host path's
+    per-scan ``slice_grid`` tiers, ``scanner.py:126-145``): each sample's
+    geometry is packed in the smallest tier covering its ``res_slice`` draw
+    and ``row["tier_idx"]`` routes it through the matching :func:`motion_t`
+    branch — serving the FULL reference ``res_slice`` law
+    (``simulate_reco.py:142-191``). Draws below even the largest tier are
+    clamped to ``diag/max(cube) * res`` (never binds for the default config
+    with the default 384/512/640 tiers; documented residual deviation
+    otherwise — e.g. a legacy single-tier int ``cube``).
 
     ``small_cube``: when set, samples whose slice FOV fits a ``small_cube``
     buffer in px units (``rs * small_cube >= diag``) pack their geometry in
@@ -440,10 +448,13 @@ def pack_motion(
     from ...ops.warp import decompose_affine_paeth_host
     from .motion import sample_motion
 
+    from .scanner import slice_grid
+
     sp, rp = sm.scanner_args, sm.recon_args
     Kb = int(sp.max_num_stack)
+    cubes = (int(cube),) if isinstance(cube, (int, np.integer)) else tuple(int(c) for c in cube)
     diag = float(np.sqrt(sum(s * s for s in shape) / 2.0))
-    rs_min = diag / cube
+    rs_min = diag / max(cubes)
     c_vol = (np.asarray(shape) - 1) / 2.0
     mp = rp.merge_params
 
@@ -456,6 +467,7 @@ def pack_motion(
                 rows[k].append([v] * Kb)
             rows["motion_on"].append(False)
             rows["small"].append(False)
+            rows["tier_idx"].append(0)
             rows["rs"].append(1.0)
             rows["gap_vox"].append(1.0)
             rows["z0"].append(0.0)
@@ -478,12 +490,16 @@ def pack_motion(
                 min(sp.resolution_slice_fac_max * res, sp.resolution_slice_max),
             )
         )
-        res_s = max(res_s, rs_min * res)  # static-tier clamp (documented)
+        res_s = max(res_s, rs_min * res)  # largest-tier clamp (documented)
         s_thick = float(rng.uniform(sp.slice_thickness_min, sp.slice_thickness_max))
         gap = float(rng.uniform(sp.gap_min, sp.gap_max))
         rs = res_s / res
         gap_vox = gap / res
         ns = min(int(max(shape) * res / gap) + 2, ns_grid)
+        # per-sample tier: smallest static grid covering this draw's slice
+        # FOV (the host path's slice_grid law, scanner.py:126-145)
+        cube_t = slice_grid(shape, rs, sp.slice_size, cubes) if len(cubes) > 1 else cubes[0]
+        tier_idx = cubes.index(cube_t)
         # small-frame eligibility: the in-plane slice FOV (diag voxels) and
         # the z slice span must both fit the small buffer in px units, AND
         # the slice gap must exceed 2 px — _extract_pair's n_near
@@ -491,13 +507,13 @@ def pack_motion(
         # units gap/res_slice can dip below 2 where gap/res never does
         small = bool(
             small_cube is not None
-            and small_cube < cube
+            and small_cube < cube_t
             and rs * small_cube >= diag
             and (ns - 1) * gap_vox / rs <= small_cube - 12
             and gap_vox / rs > 2.0
             and max(shape) <= small_cube
         )
-        cube_s = small_cube if small else cube
+        cube_s = small_cube if small else cube_t
         fs = rs if small else 1.0  # frame unit in voxels (px frame <=> fs=rs)
         gap_u = gap_vox / fs
         z0 = (cube_s - 1) / 2.0 - (ns - 1) / 2.0 * gap_u
@@ -579,7 +595,7 @@ def pack_motion(
                 )
                 # inverse stack->recon map (res_recon == res: scale 1, same grid)
                 qinv, iang, iscl, idlt = decompose_affine_paeth_host(
-                    geo["Minv"], -geo["Minv"] @ geo["t_stack"], cube
+                    geo["Minv"], -geo["Minv"] @ geo["t_stack"], cube_s
                 )
             qi, ang, ws, wd = geo["fwd"]
             for name, val in (
@@ -594,6 +610,7 @@ def pack_motion(
 
         rows["motion_on"].append(True)
         rows["small"].append(small)
+        rows["tier_idx"].append(tier_idx)
         rows["rs"].append(rs)
         rows["gap_vox"].append(gap_u)
         rows["z0"].append(z0)
@@ -625,7 +642,7 @@ def pack_motion(
         )
 
     out = {}
-    int_keys = {"q_idx", "qinv", "ns", "num_stacks", "mis_idx", "ngauss", "mres_idx", "octave"}
+    int_keys = {"q_idx", "qinv", "ns", "num_stacks", "mis_idx", "ngauss", "mres_idx", "octave", "tier_idx"}
     bool_keys = {"motion_on", "small", "smooth_on", "merge_on", "rm_on", "mis_on"}
     for k, v in rows.items():
         arr = np.asarray(v)
@@ -639,7 +656,7 @@ def pack_motion(
     return out
 
 
-def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int,
+def motion_t(key, out, seg, row, sm, shape, cube: int | tuple, ns_grid: int,
              small_cube: int | None = None):
     """Traced SimulateMotion for ONE sample from packed host geometry.
 
@@ -650,10 +667,18 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int,
     Stacks beyond the accepted count skip their compute via ``lax.cond``
     (the scan is sequential, so the cond actually saves the work).
 
+    ``cube`` may be a TUPLE of static grid tiers: one engine branch compiles
+    per tier and ``row["tier_idx"]`` (packed host-side from the slice-FOV
+    law, see :func:`pack_motion`) routes each sample through the smallest
+    covering tier via ``lax.switch`` — only the selected branch executes, so
+    a sample pays its own tier's cost. This serves the reference's full
+    ``res_slice`` law (``simulate_reco.py:142-191,349-354``) instead of
+    clamping high-FOV draws to one static tier.
+
     ``small_cube``: enables the SMALL px-frame engine — samples packed with
     ``row["small"]`` route through :func:`_acquire_one_small` and a px-unit
     :func:`_recon_one` on a ``small_cube`` buffer (~(small/cube)^3 the
-    cost); both frame variants compile once under one ``lax.cond``.
+    cost); each frame variant compiles once under the same switch.
 
     Stream deviations vs the host path (documented in the module docstring):
     zero-valid stacks drop instead of redrawing; ``rm_slices`` is per-slice
@@ -773,15 +798,22 @@ def motion_t(key, out, seg, row, sm, shape, cube: int, ns_grid: int,
         # (the host path redraws; one inert draw is the stream's equivalent)
         return jnp.where(count > 0, recon, out)
 
+    cubes = (int(cube),) if isinstance(cube, (int, np.integer)) else tuple(int(c) for c in cube)
+
     def on(o):
-        if small_cube is None or small_cube >= cube:
-            return run(o, cube, False)
-        return lax.cond(
-            row["small"],
-            lambda x: run(x, small_cube, True),
-            lambda x: run(x, cube, False),
-            o,
-        )
+        branches = []
+        has_small = small_cube is not None and small_cube < min(cubes)
+        if has_small:
+            branches.append(lambda x: run(x, small_cube, True))
+        branches.extend(lambda x, c=c: run(x, c, False) for c in cubes)
+        if len(branches) == 1:
+            return branches[0](o)
+        tier = row["tier_idx"] if "tier_idx" in row else jnp.int32(0)
+        if has_small:
+            idx = jnp.where(row["small"], 0, 1 + tier)
+        else:
+            idx = tier
+        return lax.switch(idx, branches, o)
 
     return lax.cond(row["motion_on"], on, lambda o: o, out)
 

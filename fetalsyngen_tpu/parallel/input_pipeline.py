@@ -247,6 +247,11 @@ class SyntheticStream:
     replay-faithful host path). With ``prefetch=True`` the next batch is
     generated while the caller consumes the current one.
 
+    Every batch carries a ``"meta"`` record; :meth:`replay_batch` /
+    :meth:`replay_sample` re-create it (or one element) voxel-exactly — the
+    stream analog of the dataset path's genparams replay contract
+    (reference ``datasets.py:256-327``, docs "Fixed Image Generation").
+
     Args:
         artifacts: apply the generator's configured SR artifacts inside the
             batch program (default True — matching the reference's dataset
@@ -289,12 +294,38 @@ class SyntheticStream:
         else:
             self._qa = None
         shape = tuple(self.cfg.shape)
+        tiers = self._sm.tiers if self._sm is not None else (384, 512, 640)
         if cube is None:
-            tiers = self._sm.tiers if self._sm is not None else (384, 512, 640)
-            cube = min(c for c in tiers if c >= max(shape)) if any(
-                c >= max(shape) for c in tiers
-            ) else max(tiers)
-        self.cube = int(cube)
+            if self._sm is not None:
+                # full-law tier coverage: one engine branch per static tier
+                # the config's res_slice range can need (slice_grid law,
+                # scanner.py:126-145; reference simulate_reco.py:142-191).
+                # Each sample routes through its own tier via lax.switch, so
+                # no draw is clamped (the r3 single-tier stream clamped ~20%
+                # of default-config draws to the 384 tier's floor).
+                from ..generator.artifacts.scanner import slice_grid
+
+                sp = self._sm.scanner_args
+                res0 = float(self.cfg.resolution[0])
+                rs_lo = float(sp.resolution_slice_fac_min)
+                rs_hi = min(
+                    float(sp.resolution_slice_fac_max),
+                    float(sp.resolution_slice_max) / res0,
+                )
+                t_small = slice_grid(shape, rs_hi, sp.slice_size, tiers)
+                t_big = slice_grid(shape, rs_lo, sp.slice_size, tiers)
+                cubes = tuple(t for t in sorted(tiers) if t_small <= t <= t_big)
+            else:
+                t = min((c for c in tiers if c >= max(shape)), default=max(tiers))
+                cubes = (int(t),)
+        elif isinstance(cube, (tuple, list)):
+            cubes = tuple(int(c) for c in cube)
+        else:
+            cubes = (int(cube),)
+        self.cubes = cubes
+        # legacy attribute: int when single-tier, tuple otherwise (both are
+        # accepted by pack_motion / motion_t)
+        self.cube = cubes[0] if len(cubes) == 1 else cubes
         if ns_grid is None:
             # shape-aware slice grid: the scanner never produces more than
             # ns = max(shape) * res / gap_min + 2 slices per stack
@@ -319,7 +350,7 @@ class SyntheticStream:
         sc = ((max(shape) + 127) // 128) * 128
         if os.environ.get("FSG_SMALL_TIER", "1") == "0":
             small_tier = False
-        self.small_cube = sc if (small_tier and sc < self.cube) else None
+        self.small_cube = sc if (small_tier and sc < self.cubes[0]) else None
         self.mix_subjects = max(1, min(int(mix_subjects), len(self._names)))
         self._resident: list[str] = []
         self._mega = None
@@ -337,6 +368,28 @@ class SyntheticStream:
             )
         return self._segs[name]
 
+    def _stack_banks(self, names: list[str]):
+        """Stack per-subject banks/segs into the batch program's mega inputs.
+
+        Deterministic in ``names`` (banks decode from disk), so a replay can
+        rebuild byte-identical program inputs from the resident list alone.
+        """
+        banks = [self._banks.bank(n) for n in names]
+        n_opt = max(b.shape[0] for b in banks)
+        padded = [
+            b
+            if b.shape[0] == n_opt
+            else jnp.concatenate([b, jnp.repeat(b[-1:], n_opt - b.shape[0], 0)])
+            for b in banks
+        ]
+        mega = jnp.stack(padded)
+        megasegs = jnp.stack([self._seg(n) for n in names])
+        hi = jnp.asarray(
+            [min(self.cfg.intensity.max_subclusters, b.shape[0]) for b in banks],
+            jnp.int32,
+        )
+        return mega, megasegs, hi
+
     def _rotate_residents(self):
         """Advance the resident subject set by one (round-robin) and restack
         the device mega-bank. Stacking device-cached banks is an HBM-to-HBM
@@ -349,23 +402,7 @@ class SyntheticStream:
         if want == self._resident:
             return
         self._resident = want
-        banks = [self._banks.bank(n) for n in want]
-        n_opt = max(b.shape[0] for b in banks)
-        padded = [
-            b
-            if b.shape[0] == n_opt
-            else jnp.concatenate([b, jnp.repeat(b[-1:], n_opt - b.shape[0], 0)])
-            for b in banks
-        ]
-        self._mega = jnp.stack(padded)
-        self._megasegs = jnp.stack([self._seg(n) for n in want])
-        self._hi = jnp.asarray(
-            [
-                min(self.cfg.intensity.max_subclusters, b.shape[0])
-                for b in banks
-            ],
-            jnp.int32,
-        )
+        self._mega, self._megasegs, self._hi = self._stack_banks(want)
 
     def _generate(self):
         B = self.batch_size
@@ -382,12 +419,13 @@ class SyntheticStream:
         if self._sm is not None:
             from ..generator.artifacts.batched import pack_motion
 
-            pack = pack_motion(
+            pack_host = pack_motion(
                 self._rng, B, self._shape, float(self.cfg.resolution[0]),
                 self._sm, self.cube, self.ns_grid, small_cube=self.small_cube,
             )
-            pack = jax.tree.map(jnp.asarray, pack)
+            pack = jax.tree.map(jnp.asarray, pack_host)
         else:
+            pack_host = {}
             pack = {}
 
         # subject per batch ELEMENT (host draw, so the per-sample subject
@@ -402,10 +440,74 @@ class SyntheticStream:
             sub, self._mega, self._megasegs, self._hi,
             jnp.asarray(subj, jnp.int32), pack,
         )
+        # replay metadata: the batch program is a pure function of
+        # (sub, resident subject list, subj, pack); everything else (seed
+        # banks, segs) decodes deterministically from disk. See replay_batch.
+        meta = {
+            "sub": np.asarray(sub),
+            "resident": tuple(self._resident),
+            "subj": np.asarray(subj, np.int64),
+            "pack": {k: np.asarray(v) for k, v in pack_host.items()},
+            "batch_size": B,
+        }
         return {
             "image": images,
             "label": labels,
             "name": tuple(self._resident[int(s)] for s in subj),
+            "meta": meta,
+        }
+
+    def replay_batch(self, meta: dict) -> dict:
+        """Re-generate a batch voxel-exactly from its ``meta`` record.
+
+        The batch program is deterministic in ``(sub, resident, subj, pack)``
+        — the only host draws — plus the on-disk seed/seg volumes, so
+        re-running the SAME jitted program on the rebuilt inputs reproduces
+        every element bit-for-bit (same compiled executable, same inputs).
+        Works on a fresh ``SyntheticStream`` in a new process as long as the
+        stream configuration (batch size, cfg, artifact settings, tier
+        geometry) matches the producing stream; the dataset path's genparams
+        dict remains the cross-implementation replay surface
+        (reference contract ``datasets.py:256-327``).
+        """
+        B = int(meta["batch_size"])
+        if B != self.batch_size:
+            raise ValueError(
+                f"meta was produced with batch_size={B}, this stream uses "
+                f"{self.batch_size}; construct a stream with batch_size={B}"
+            )
+        lo = max(self.cfg.intensity.min_subclusters - 1, 0)
+        if self._batch_fn is None:
+            self._batch_fn = _make_batch_fn(
+                self.cfg, self._shape, self._qa, self._sm, self.cube,
+                self.ns_grid, B, lo, small_cube=self.small_cube,
+            )
+        mega, megasegs, hi = self._stack_banks(list(meta["resident"]))
+        pack = {k: jnp.asarray(v) for k, v in meta["pack"].items()}
+        subj = np.asarray(meta["subj"])
+        images, labels = self._batch_fn(
+            jnp.asarray(meta["sub"]), mega, megasegs, hi,
+            jnp.asarray(subj, jnp.int32), pack,
+        )
+        return {
+            "image": images,
+            "label": labels,
+            "name": tuple(meta["resident"][int(s)] for s in subj),
+            "meta": meta,
+        }
+
+    def replay_sample(self, meta: dict, index: int) -> dict:
+        """Reproduce ONE element of a recorded batch (see :meth:`replay_batch`).
+
+        Re-runs the batch program (per-element programs would trace a second
+        executable whose reductions may associate differently; re-running the
+        recorded batch guarantees bitwise equality) and slices out ``index``.
+        """
+        batch = self.replay_batch(meta)
+        return {
+            "image": batch["image"][index],
+            "label": batch["label"][index],
+            "name": batch["name"][index],
         }
 
     def __iter__(self):

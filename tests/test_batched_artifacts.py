@@ -390,3 +390,61 @@ class TestBoundariesTraced:
         assert np.isfinite(got).all()
         inner = np.asarray(seg) > 0
         np.testing.assert_allclose(got[inner], np.asarray(out)[inner], rtol=1e-6)
+
+
+@pytest.mark.slow
+class TestMultiTier:
+    """VERDICT r3 missing #4: the stream serves the FULL res_slice law via
+    per-sample static tiers (lax.switch) instead of clamping draws that need
+    a grid above the single tier (reference law simulate_reco.py:142-191,
+    349-354; host-path tier law scanner.slice_grid)."""
+
+    def test_pack_spans_tiers_and_matches_host_tier_law(self, vols):
+        from fetalsyngen_tpu.generator.artifacts.scanner import slice_grid
+
+        sm = _tiny_motion(prob=1.0)
+        sm.tiers = (64, 96)
+        rng = np.random.default_rng(3)
+        pack = ba.pack_motion(rng, 16, SHAPE, 0.5, sm, (64, 96), 32)
+        rs, ti = pack["rs"], pack["tier_idx"]
+        diag = np.sqrt(sum(s * s for s in SHAPE) / 2.0)
+        # law floor is rs = fac_min = 1.0; a single 64 tier would clamp every
+        # draw below diag/64 ~ 1.225 — multi-tier serves them unclamped
+        assert rs.min() < diag / 64 - 0.05
+        assert (ti == 0).any() and (ti == 1).any()
+        # per-sample tier == the host path's slice_grid law
+        for r, t in zip(rs, ti):
+            assert (64, 96)[int(t)] == slice_grid(SHAPE, float(r), None, (64, 96))
+
+    def test_multi_tier_engine_matches_single_tier_branch(self, vols):
+        """A sample routed through the lax.switch == the same row run on a
+        dedicated single-tier engine (same program, same inputs)."""
+        from scipy.ndimage import gaussian_filter
+
+        _, seg = vols
+        segn = np.asarray(seg)
+        out = gaussian_filter(
+            (segn > 0).astype(np.float32) * 100 + (segn > 2) * 80, 1.5
+        ).astype(np.float32)
+        outj = jnp.asarray(out)
+        sm = _tiny_motion(prob=1.0)
+        sm.tiers = (64, 96)
+        rng = np.random.default_rng(5)
+        pack = ba.pack_motion(rng, 8, SHAPE, 0.5, sm, (64, 96), 32)
+        ti = pack["tier_idx"]
+        assert (ti == 1).any(), "need at least one big-tier draw"
+        packj = jax.tree.map(jnp.asarray, pack)
+        for b in (int(np.argmax(ti == 0)), int(np.argmax(ti == 1))):
+            row = jax.tree.map(lambda a: a[b], packj)
+            k = jax.random.PRNGKey(50 + b)
+            got = np.asarray(ba.motion_t(k, outj, seg, row, sm, SHAPE, (64, 96), 32))
+            single = np.asarray(
+                ba.motion_t(k, outj, seg, row, sm, SHAPE, int((64, 96)[ti[b]]), 32)
+            )
+            np.testing.assert_array_equal(got, single)
+            assert np.isfinite(got).all()
+            assert not np.allclose(got, out)
+            c = np.corrcoef(
+                got[8:56, 8:56, 8:56].ravel(), out[8:56, 8:56, 8:56].ravel()
+            )[0, 1]
+            assert c > 0.4, c

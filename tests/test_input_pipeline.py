@@ -154,3 +154,78 @@ def test_sharded_artifact_generator_8dev():
     # per-sample keys -> distinct draws
     assert not np.allclose(imgs[0], imgs[1])
     assert set(np.unique(np.asarray(labs[0]))) <= set(range(12))
+
+
+@pytest.mark.slow
+def test_stream_replay_bitexact(dataset):
+    """VERDICT r3 missing #3: stream batches carry a meta record that
+    re-creates them voxel-exactly — on the producing stream AND on a fresh
+    stream instance (new process analog). The stream analog of the dataset
+    path's genparams replay contract (reference datasets.py:256-327)."""
+    stream = SyntheticStream(dataset, batch_size=2, seed=7, prefetch=False)
+    it = iter(stream)
+    next(it)  # advance past the first batch so replay isn't trivially batch 0
+    batch = next(it)
+    img = np.asarray(batch["image"])
+
+    got = stream.replay_batch(batch["meta"])
+    np.testing.assert_array_equal(np.asarray(got["image"]), img)
+    np.testing.assert_array_equal(np.asarray(got["label"]), np.asarray(batch["label"]))
+    assert got["name"] == batch["name"]
+
+    # one element, on a FRESH stream (same config)
+    fresh = SyntheticStream(dataset, batch_size=2, seed=0, prefetch=False)
+    one = fresh.replay_sample(batch["meta"], 1)
+    np.testing.assert_array_equal(np.asarray(one["image"]), img[1])
+    np.testing.assert_array_equal(np.asarray(one["label"]), np.asarray(batch["label"])[1])
+    assert one["name"] == batch["name"][1]
+
+    # wrong batch size is rejected loudly
+    wrong = SyntheticStream(dataset, batch_size=3, seed=0, prefetch=False)
+    with pytest.raises(ValueError):
+        wrong.replay_batch(batch["meta"])
+
+
+@pytest.mark.slow
+def test_stream_replay_with_motion_artifacts(dataset, tmp_path_factory):
+    """Replay covers the full artifact chain: the motion pack rows are part
+    of the meta record, so a motion-ON batch reproduces bit-for-bit."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_batched_artifacts import _tiny_motion
+
+    root = build_bids_tree(tmp_path_factory.mktemp("bids_replay"))
+    gen = small_generator()
+    gen.artifacts["simulate_motion"] = _tiny_motion(prob=1.0)
+    ds = FetalSynthDataset(str(root), gen, str(root / "derivatives" / "seeds"))
+    stream = SyntheticStream(ds, batch_size=2, seed=11, prefetch=False)
+    batch = next(iter(stream))
+    assert batch["meta"]["pack"], "motion pack should be recorded"
+    got = stream.replay_batch(batch["meta"])
+    np.testing.assert_array_equal(np.asarray(got["image"]), np.asarray(batch["image"]))
+    np.testing.assert_array_equal(np.asarray(got["label"]), np.asarray(batch["label"]))
+
+
+def test_stream_builds_full_law_tier_set(dataset, tmp_path_factory):
+    """With motion configured, the default stream covers the config's full
+    res_slice law with one engine tier per needed static grid (no clamping);
+    an explicit int cube stays single-tier (legacy)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_batched_artifacts import _tiny_motion
+
+    root = build_bids_tree(tmp_path_factory.mktemp("bids_tiers"))
+    gen = small_generator()
+    sm = _tiny_motion(prob=1.0)
+    sm.tiers = (64, 96)
+    gen.artifacts["simulate_motion"] = sm
+    ds = FetalSynthDataset(str(root), gen, str(root / "derivatives" / "seeds"))
+    # fac_min=1.0 needs the 96 grid at shape 64 (diag/1.0 = 78.4 -> 96);
+    # fac_max covers down to the 64 grid -> both tiers in play
+    stream = SyntheticStream(ds, batch_size=2, seed=0, prefetch=False)
+    assert stream.cubes == (64, 96)
+    # explicit int cube -> legacy single tier
+    stream = SyntheticStream(ds, batch_size=2, seed=0, prefetch=False, cube=64)
+    assert stream.cubes == (64,) and stream.cube == 64
