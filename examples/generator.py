@@ -16,8 +16,9 @@ import argparse
 import sys
 from pathlib import Path
 
+# allow running from a repo checkout without installing; an installed
+# package needs no path tweaks (all imports below are packaged)
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 
 def main():
@@ -30,12 +31,12 @@ def main():
 
     from fetalsyngen_tpu.config import instantiate, load_yaml, resolve_interpolations
     from fetalsyngen_tpu.io import nifti
-    from fixtures import build_bids_tree
+    from fetalsyngen_tpu.testing import build_bids_tree
 
     root = Path(args.out) / "bids"
     root.mkdir(parents=True, exist_ok=True)
     if not (root / "sub-aaa").exists():
-        build_bids_tree(root)
+        build_bids_tree(root, shape=(args.shape,) * 3)
     out_dir = Path(args.out)
 
     def dataset_from(config_path, **overrides):
