@@ -33,6 +33,11 @@ import jax
 # multi-minute 256^3 pipeline compile persists across bench invocations.
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # sitecustomize may force-register the TPU plugin and overwrite
+    # jax_platforms; honor an explicit CPU request (smoke runs) BEFORE any
+    # backend init — with the tunnel down, axon init blocks forever.
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 REFERENCE_VOLS_PER_SEC = 1.78
@@ -98,11 +103,13 @@ def bench_artifacts(shape_edge: int, samples: int):
     print(
         json.dumps(
             {
-                "metric": f"SR-artifact pipeline {shape_edge}^3 sec/sample",
+                "metric": (
+                    f"SR-artifact pipeline {shape_edge}^3 sec/sample "
+                    "(vs_baseline = speedup vs this repo's round-1 48 s/sample "
+                    "self-baseline; the reference publishes no artifact-path number)"
+                ),
                 "value": round(sec, 3),
                 "unit": "s/sample",
-                # reference: not benchmarked upstream; round-1 TPU build took
-                # 36-61 s/sample — report speedup vs its midpoint (48 s)
                 "vs_baseline": round(48.0 / sec, 3),
             }
         )
@@ -268,6 +275,32 @@ def main():
     dt = time.perf_counter() - t0
 
     vols_per_sec = B * args.iters / dt
+
+    # --- single-volume generation latency p50 (the second half of
+    # BASELINE.json's metric): one dispatch+fetch per volume, timed
+    # individually on the host. Includes the per-dispatch round-trip
+    # (~20 ms constant through the tunneled runtime — a local chip pays
+    # less); the chained number above is the amortized device-side rate.
+    @jax.jit
+    def single(key):
+        with _production_scopes():
+            out, seg, _, _ = _synth_core(
+                key, seeds[0], segs[0], jnp.zeros((), jnp.float32), (), cfg, (), False
+            )
+        return jnp.mean(out.astype(jnp.float32)) + jnp.float32(
+            jnp.sum(seg[::64, ::64, ::64])
+        ) * 0.0
+
+    lat_n = 15
+    for i in range(3):  # compile + program-upload warmup
+        float(single(jax.random.PRNGKey(1000 + i)))
+    lats = []
+    for i in range(lat_n):
+        t0 = time.perf_counter()
+        float(single(jax.random.PRNGKey(2000 + i)))
+        lats.append(time.perf_counter() - t0)
+    lat_p50 = sorted(lats)[lat_n // 2]
+
     print(
         json.dumps(
             {
@@ -275,6 +308,10 @@ def main():
                 "value": round(vols_per_sec, 4),
                 "unit": "vol/s/chip",
                 "vs_baseline": round(vols_per_sec / REFERENCE_VOLS_PER_SEC, 4),
+                "latency_p50_s": round(lat_p50, 4),
+                "latency_note": "single-volume dispatch+fetch p50 over "
+                f"{lat_n} draws incl ~20 ms tunnel round-trip; reference "
+                "reports 0.56-0.62 s (docs/datasets.md:76,131)",
             }
         )
     )
