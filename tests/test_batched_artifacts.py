@@ -238,6 +238,106 @@ class TestMotionTraced:
         np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_b), atol=2e-3)
         np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_b), atol=1e-5)
 
+    def test_extract_pair_dz_split_vs_dense_reference(self):
+        """Engaged dz-split extraction (static flag 1) vs a dense per-slice
+        gather reference, on separated geometry: the split must be at least
+        as accurate as the exact factorization (at plane centers it
+        degenerates to ONE interpolation), and flag 0 must reproduce the
+        exact tables through the same blended program."""
+        from scipy.ndimage import gaussian_filter
+
+        from fetalsyngen_tpu.generator.artifacts import scanner as sc
+
+        cube, nsg = 64, 16
+        rng = np.random.default_rng(0)
+        vol = gaussian_filter(
+            np.clip(rng.normal(50, 20, (cube,) * 3), 0, None).astype(np.float32), 2.0
+        )
+        gap, rs = 4.0, 1.0
+        z0 = (cube - 1) / 2 - (nsg - 1) / 2 * gap
+        c_ss = (cube - 1) / 2
+        t = rng.uniform(-1.5, 1.5, nsg).astype(np.float32)
+        a1 = rng.uniform(-0.05, 0.05, nsg).astype(np.float32)
+        a2 = rng.uniform(-0.05, 0.05, nsg).astype(np.float32)
+        G = np.zeros((nsg, 3, 4), np.float32)
+        G[:, 0, 1], G[:, 0, 2] = a1, a2
+        G[:, 0, 3] = z0 + gap * np.arange(nsg) + t
+        dz, dv, du = sc._slice_coef_tables(jnp.asarray(G), rs, c_ss, z0, gap, nsg)
+        # identity in-plane passes isolate the z extraction
+        ident = np.zeros((nsg, 4), np.float32)
+        ident[:, 2] = 1.0
+        dvi = jnp.asarray(ident)
+        x = jnp.asarray(vol)  # treated as the (v, u, z) stack frame
+        outs = {}
+        for name, flag in (
+            ("exact", False), ("off", jnp.float32(0.0)), ("on", jnp.float32(1.0)),
+        ):
+            s, _ = sc._extract_pair(
+                x, None, gap, z0, dz, dvi, dvi, cube, nsg, split_dz=flag
+            )
+            outs[name] = np.asarray(s)
+        # flag 0 through the blended program == the static exact path
+        np.testing.assert_allclose(outs["off"], outs["exact"], atol=1e-5)
+        # dense reference: out[n, v, u] = V[v, u, z0 + gap n + dz(n, v, u)]
+        vv = np.arange(cube, dtype=np.float32)
+        ref = np.zeros((nsg, cube, cube), np.float32)
+        for n in range(nsg):
+            pz = (
+                z0 + gap * n + t[n]
+                + a1[n] * rs * (vv[:, None] - c_ss)
+                + a2[n] * rs * (vv[None, :] - c_ss)
+            )
+            pz = np.clip(pz, 0, cube - 1)
+            f = np.clip(np.floor(pz).astype(int), 0, cube - 2)
+            w = pz - f
+            ref[n] = (1 - w) * np.take_along_axis(vol, f[..., None], 2)[..., 0] + (
+                w
+            ) * np.take_along_axis(vol, (f + 1)[..., None], 2)[..., 0]
+        err_exact = np.abs(outs["exact"] - ref).max()
+        err_split = np.abs(outs["on"] - ref).max()
+        assert err_split <= err_exact + 1e-4, (err_split, err_exact)
+        assert err_split < 0.02 * ref.max(), err_split
+
+    def test_recon_one_dz_split_placement_semantics(self):
+        """A delta slice with a translated plane: the engaged split PLACES
+        its content at the actual plane z = Grec[m,0,3] (the reference
+        adjoint's scatter semantics, ``simulate_reco.py:38-54``); the exact
+        engine's first-order inverse GATHER resamples slot content instead,
+        so the delta's mass stays at the nominal base_z. Both agree for
+        slice-independent drift; the per-stack gate (``_dz_split_ok``)
+        bounds the jitter where they differ."""
+        from fetalsyngen_tpu.generator.artifacts import scanner as sc
+
+        cube, nsg = 64, 16
+        gap, t_m, m = 4.0, 1.2, 7
+        z0 = (cube - 1) / 2 - (nsg - 1) / 2 * gap
+        G = np.zeros((nsg, 3, 4), np.float32)
+        G[:, 0, 3] = z0 + gap * np.arange(nsg)
+        G[m, 0, 3] += t_m
+        slices = np.zeros((nsg, cube, cube), np.float32)
+        slices[m] = 1.0
+        keep = np.ones(nsg, np.float32)
+        args = (
+            jnp.float32(1.0), jnp.float32(gap), jnp.float32(z0),
+            jnp.asarray([0.2, 0.2], jnp.float32),  # near-delta recon PSF
+            jnp.int32(0), jnp.zeros(3, jnp.float32), jnp.float32(1.0),
+            jnp.zeros(3, jnp.float32),
+        )
+
+        def com(flag):
+            v, _ = sc._recon_one(
+                jnp.asarray(slices), jnp.asarray(keep), jnp.asarray(G),
+                *args, cube, nsg, (cube,) * 3, split_dz=flag,
+            )
+            prof = np.asarray(v)[:, cube // 2, cube // 2]
+            return float((prof * np.arange(cube)).sum() / prof.sum())
+
+        base = z0 + gap * m
+        assert abs(com(jnp.float32(1.0)) - (base + t_m)) < 0.15  # scatter
+        assert abs(com(False) - base) < 0.15  # first-order inverse gather
+        # flag 0 through the blended program == the static exact path
+        assert abs(com(jnp.float32(0.0)) - com(False)) < 1e-4
+
     def test_storage_scope_bf16_close_to_f32(self, vols):
         """The stream's bf16 intermediate-storage mode (linops.storage_scope)
         must track the f32 chain to interpolation-noise level: same keys ->
@@ -312,6 +412,63 @@ class TestMotionTraced:
         assert not np.allclose(got_s, ref)  # motion actually ran
         c = np.corrcoef(got_s.ravel(), got_b.ravel())[0, 1]
         assert c > 0.98, c
+
+    def test_dz_split_matches_exact_engine(self, vols):
+        """The dz-split engine (per-slice z translation folded into the
+        extraction/placement matmuls, tilt-only hat passes —
+        ``scanner._extract_pair``/``_recon_one`` ``split_dz``) gates PER
+        STACK on a pack-time separation proof (``batched._dz_split_ok``):
+        gated-off stacks reproduce the exact tables through the blended
+        program, engaged stacks are attribution-exact by construction —
+        outputs agree tightly either way (not bitwise: the split samples
+        each plane center with ONE interpolation where the exact path
+        composes hat+matmul)."""
+        from scipy.ndimage import gaussian_filter
+
+        _, seg = vols
+        segn = np.asarray(seg)
+        out = jnp.asarray(
+            gaussian_filter(
+                (segn > 0).astype(np.float32) * 100 + (segn > 2) * 80, 1.5
+            ).astype(np.float32)
+        )
+        sm = _tiny_motion(prob=1.0)
+        B, cube, nsg = 4, 64, 32
+        pack = jax.tree.map(
+            jnp.asarray,
+            ba.pack_motion(np.random.default_rng(7), B, SHAPE, 0.5, sm, cube, nsg),
+        )
+        keys = jax.random.split(jax.random.PRNGKey(5), B)
+
+        def run(split):
+            def one(args):
+                k, row = args
+                return ba.motion_t(
+                    k, out, seg, row, sm, SHAPE, cube, nsg, split_dz=split
+                )
+
+            return np.asarray(jax.lax.map(one, (keys, pack)))
+
+        exact = run(False)
+        split = run(True)
+        ref = np.asarray(out)
+        assert np.isfinite(split).all()
+        for i in range(B):
+            assert not np.allclose(split[i], ref)  # motion actually ran
+            c = np.corrcoef(split[i].ravel(), exact[i].ravel())[0, 1]
+            assert c > 0.99, (i, c)
+
+    def test_dz_split_flag_engages_on_separated_stacks(self):
+        """_dz_split_ok: separated plane positions -> 1.0; crossing -> 0.0."""
+        nsg = 16
+        G = np.zeros((nsg, 3, 4), np.float32)
+        G[:, 0, 3] = 10.0 + 4.0 * np.arange(nsg)  # separated by 4 > 2.05
+        assert ba._dz_split_ok(G, G, nsg, gap_u=4.0) == 1.0
+        Gx = G.copy()
+        Gx[3, 0, 3] = Gx[4, 0, 3] - 0.5  # two planes cross
+        assert ba._dz_split_ok(Gx, G, nsg, gap_u=4.0) == 0.0
+        assert ba._dz_split_ok(G, Gx, nsg, gap_u=4.0) == 0.0
+        assert ba._dz_split_ok(G, G, nsg, gap_u=1.5) == 0.0  # gap too small
 
     def test_motion_off_is_identity(self, vols):
         out, seg = vols
