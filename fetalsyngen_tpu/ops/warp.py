@@ -31,6 +31,7 @@ closed-form composite mask.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -82,9 +83,39 @@ _BIG = 1e9
 # backend — used by tests to exercise the kernel logic without a TPU.
 _INTERPRET = os.environ.get("FSG_PALLAS_INTERPRET") == "1"
 
+# Dynamic off-switch: when True every hat-pass entry point takes the
+# ``_hat_pass_jnp`` XLA fallback even on a TPU backend.  The gate is read at
+# TRACE time, so flipping it only affects subsequent traces — use
+# :func:`force_jnp_fallback`, which clears the jit caches around the flip.
+# Purpose: structural on-chip agreement tests between the compiled Mosaic
+# kernels and the fallback at full pipeline scale (no hand-pinned goldens).
+_FORCE_JNP = os.environ.get("FSG_FORCE_JNP") == "1"
+
 
 def _use_pallas() -> bool:
+    if _FORCE_JNP:
+        return False
     return jax.default_backend() == "tpu" or _INTERPRET
+
+
+@contextlib.contextmanager
+def force_jnp_fallback():
+    """Run the enclosed block with Pallas disabled (XLA hat-pass fallback).
+
+    Clears the jit caches on entry and exit so module-level jitted programs
+    (e.g. ``generator.pipeline._synth_core_impl``) retrace and pick up the
+    flipped gate; the on-disk persistent compile cache is untouched, so
+    re-enabling Pallas re-lowers from cache rather than recompiling.
+    """
+    global _FORCE_JNP
+    prev = _FORCE_JNP
+    _FORCE_JNP = True
+    jax.clear_caches()
+    try:
+        yield
+    finally:
+        _FORCE_JNP = prev
+        jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------
