@@ -24,9 +24,11 @@ Known deviations vs the host path (documented, stream-only):
   belongs to the dataset path); the stream has its own voxel-exact replay
   via each batch's ``meta`` record (``SyntheticStream.replay_batch`` /
   ``replay_sample`` re-run the recorded program inputs bit-for-bit);
-- the scanner runs on ONE static grid tier (default 384) — ``res_slice``
-  draws needing a larger tier are clamped to the smallest resolution the
-  tier covers (the host path serves the full range via per-scan tiers);
+- the scanner packs each sample's geometry into the smallest of a static
+  set of grid tiers covering its ``res_slice`` draw (the stream derives the
+  tier set from the config's full range, so no draw is clamped) and routes
+  batches through per-tier ``lax.switch`` branches — same law as the host
+  path's per-scan ``slice_grid``, realised with static shapes;
 - zero-valid-slice stacks are dropped instead of redrawn (the reference
   retry, ``simulate_reco.py:366``, virtually never fires for brain-centered
   stacks); the overflow-stack discard IS replicated;
