@@ -26,7 +26,10 @@ Known deviations vs the host path (documented, stream-only):
   ``replay_sample`` re-run the recorded program inputs bit-for-bit);
 - the scanner packs each sample's geometry into the smallest of a static
   set of grid tiers covering its ``res_slice`` draw (the stream derives the
-  tier set from the config's full range, so no draw is clamped) and routes
+  tier set from the config's full range, so no draw is clamped for ranges
+  covered by the tier set — the default config; a draw whose required grid
+  exceeds the largest tier is clamped to it, a documented residual
+  deviation) and routes
   batches through per-tier ``lax.switch`` branches — same law as the host
   path's per-scan ``slice_grid``, realised with static shapes;
 - zero-valid-slice stacks are dropped instead of redrawn (the reference

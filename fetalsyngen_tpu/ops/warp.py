@@ -106,6 +106,13 @@ def force_jnp_fallback():
     (e.g. ``generator.pipeline._synth_core_impl``) retrace and pick up the
     flipped gate; the on-disk persistent compile cache is untouched, so
     re-enabling Pallas re-lowers from cache rather than recompiling.
+
+    .. warning:: NOT safe to enter while other threads or a prefetching
+       stream are dispatching jitted work: the gate is a process-wide module
+       global read at trace time, and ``jax.clear_caches()`` is process-wide
+       — concurrent dispatches would silently retrace onto the fallback path
+       (and pay a full retrace again on exit). Single-threaded
+       test/diagnostic use only.
     """
     global _FORCE_JNP
     prev = _FORCE_JNP
