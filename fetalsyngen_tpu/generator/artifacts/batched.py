@@ -153,12 +153,28 @@ def _weighted_centers(key, w_flat, shape, nmax):
     return centers, finite
 
 
-def blur_cortex_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, bc: BlurCortex):
+def _pin_gate(drawn, gate):
+    """Combine a drawn artifact gate with an optional per-sample pin.
+
+    ``gate`` is a traced int32 scalar: ``-1`` keeps the drawn gate, ``0``
+    forces OFF, ``1`` forces ON (the stream analog of the reference's
+    "non-empty genparams forces the artifact" contract,
+    ``fetalsyngen/generator/model.py:210-220``). ``None`` (the unpinned
+    default) leaves the trace byte-identical to the pre-pinning program so
+    cached executables stay valid.
+    """
+    if gate is None:
+        return drawn
+    return jnp.where(gate >= 0, gate > 0, drawn)
+
+
+def blur_cortex_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, bc: BlurCortex,
+                  gate=None):
     """Traced BlurCortex: gate ~ U < prob; nblur ~ U{nmin..nmax-1};
     std_blurs ~ Gamma(2, 1)^3; center sigmas ~ Gamma(3, 1) (artifacts.py:104,
     110); frontal-lobe-biased weighted centers."""
     kg, kn, ks, kc, kb = jax.random.split(key, 5)
-    on = jax.random.uniform(kg) < bc.prob
+    on = _pin_gate(jax.random.uniform(kg) < bc.prob, gate)
 
     def apply(out):
         shape = out.shape
@@ -191,9 +207,10 @@ def blur_cortex_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, bc: BlurCo
 # ---------------------------------------------------------------------------
 
 
-def struct_noise_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sn: StructNoise):
+def struct_noise_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sn: StructNoise,
+                   gate=None):
     kg, kn, kstd, k1, k2, k3, ksig = jax.random.split(key, 7)
-    on = jax.random.uniform(kg) < sn.prob
+    on = _pin_gate(jax.random.uniform(kg) < sn.prob, gate)
     mp = sn.merge_params
 
     def apply(out):
@@ -252,9 +269,14 @@ def struct_noise_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sn: Struc
 # ---------------------------------------------------------------------------
 
 
-def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: SimulatedBoundaries):
+def boundaries_t(key: jax.Array, out: jnp.ndarray, seg: jnp.ndarray, sb: SimulatedBoundaries,
+                 gate=None):
     knm, kh, kf, khr, kn1, kn2, kn3, kc, kbeta = jax.random.split(key, 9)
+    # gate pin semantics: ON forces the masking path (no_mask_on=False),
+    # OFF forces the pass-through (no_mask_on=True); sub-gates stay drawn
     no_mask_on = jax.random.uniform(knm) < sb.prob_no_mask
+    if gate is not None:
+        no_mask_on = jnp.where(gate >= 0, gate == 0, no_mask_on)
     halo_on = jax.random.uniform(kh) < sb.prob_halo
     fuzzy_on = jax.random.uniform(kf) < sb.prob_fuzzy
     mask0 = (seg > 0).astype(jnp.int32)
@@ -427,7 +449,8 @@ def _dz_split_ok(G, Grec, ns, gap_u, margin: float = 2.05) -> float:
 
 def pack_motion(
     rng, B: int, shape, res: float, sm, cube: int | tuple, ns_grid: int,
-    small_cube: int | None = None,
+    small_cube: int | None = None, genparams: dict | None = None,
+    with_record: bool = False,
 ) -> dict:
     """Host geometry for one batch of the traced motion engine.
 
@@ -455,6 +478,18 @@ def pack_motion(
     in px — and set ``row["small"]`` so :func:`motion_t` routes them through
     the small-frame engine. Frame-unit row values are mode-dependent; the
     schema is identical for both modes.
+
+    ``genparams``: optional pins for the scanner's geometry draws —
+    ``resolution_slice`` (or ``resolution_slice_fac``), ``slice_thickness``,
+    ``gap`` — applied draw-then-override (like the host path,
+    ``scanner.py`` ``Scanner.get_resolution``) so the host RNG consumption
+    is identical pinned or not; a non-empty dict also forces the motion gate
+    ON for every sample (reference contract: non-empty artifact genparams
+    skip the probability gate, ``fetalsyngen/generator/artifacts.py``
+    SimulateMotion). With ``with_record=True`` the returned dict carries a
+    host-only ``"_record"`` entry with the per-sample effective scalars
+    (resolution_slice / slice_thickness / gap in mm, motion_on) — pop it
+    before shipping the pack to the device program.
     """
     from .scanner import (
         GAUSSIAN_FWHM,
@@ -481,11 +516,28 @@ def pack_motion(
     rs_min = diag / max(cubes)
     c_vol = (np.asarray(shape) - 1) / 2.0
     mp = rp.merge_params
+    # _validated_genparams parity (reference model.py:85-92): None values
+    # are "not pinned"
+    gp = {k: v for k, v in (genparams or {}).items() if v is not None}
+    # stream gate-pin extension: {"apply": True/False} forces the motion gate
+    # without pinning any scalar; any other non-empty dict forces ON
+    # (reference parity: non-empty genparams skip the probability gate)
+    apply_pin = gp.pop("apply", None)
+    force_on = bool(gp) or apply_pin is True
+    force_off = apply_pin is False
+    pin_res_s = gp.get("resolution_slice")
+    if pin_res_s is None and gp.get("resolution_slice_fac") is not None:
+        pin_res_s = float(gp["resolution_slice_fac"]) * res
 
     rows: dict[str, list] = collections.defaultdict(list)
+    record: dict[str, list] = collections.defaultdict(list)
     for _ in range(B):
-        on = rng.random() < sm.prob
+        on = (rng.random() < sm.prob or force_on) and not force_off
         if not on:
+            record["resolution_slice"].append(np.nan)
+            record["slice_thickness"].append(np.nan)
+            record["gap"].append(np.nan)
+            record["motion_on"].append(False)
             st = _identity_stack_row(ns_grid)
             for k, v in st.items():
                 rows[k].append([v] * Kb)
@@ -508,15 +560,27 @@ def pack_motion(
             rows["gsigmas"].append(np.full((8, 1), 20.0, np.float32))
             continue
 
+        # draw-then-override: pinned genparams must not skip rng draws
+        # (host-path parity, scanner.py Scanner.get_resolution)
         res_s = float(
             rng.uniform(
                 sp.resolution_slice_fac_min * res,
                 min(sp.resolution_slice_fac_max * res, sp.resolution_slice_max),
             )
         )
+        if pin_res_s is not None:
+            res_s = float(pin_res_s)
         res_s = max(res_s, rs_min * res)  # largest-tier clamp (documented)
         s_thick = float(rng.uniform(sp.slice_thickness_min, sp.slice_thickness_max))
+        if gp.get("slice_thickness") is not None:
+            s_thick = float(gp["slice_thickness"])
         gap = float(rng.uniform(sp.gap_min, sp.gap_max))
+        if gp.get("gap") is not None:
+            gap = float(gp["gap"])
+        record["resolution_slice"].append(res_s)
+        record["slice_thickness"].append(s_thick)
+        record["gap"].append(gap)
+        record["motion_on"].append(True)
         rs = res_s / res
         gap_vox = gap / res
         ns = min(int(max(shape) * res / gap) + 2, ns_grid)
@@ -678,6 +742,11 @@ def pack_motion(
         else:
             arr = arr.astype(np.float32)
         out[k] = arr
+    if with_record:
+        out["_record"] = {
+            k: np.asarray(v, bool if k == "motion_on" else np.float32)
+            for k, v in record.items()
+        }
     return out
 
 
@@ -854,17 +923,24 @@ def motion_t(key, out, seg, row, sm, shape, cube: int | tuple, ns_grid: int,
     return lax.cond(row["motion_on"], on, lambda o: o, out)
 
 
-def apply_pre_motion(key, out, seg, qa: QualityArtifacts):
-    """blur_cortex + struct_noise (reference chain order model.py:210-220)."""
+def apply_pre_motion(key, out, seg, qa: QualityArtifacts, gates=None):
+    """blur_cortex + struct_noise (reference chain order model.py:210-220).
+
+    ``gates``: optional (3,) int32 per-sample pins
+    (blur_cortex, struct_noise, boundaries) — see :func:`_pin_gate`.
+    """
     if qa.blur_cortex is not None:
-        out = blur_cortex_t(jax.random.fold_in(key, 301), out, seg, qa.blur_cortex)
+        out = blur_cortex_t(jax.random.fold_in(key, 301), out, seg, qa.blur_cortex,
+                            gate=None if gates is None else gates[0])
     if qa.struct_noise is not None:
-        out = struct_noise_t(jax.random.fold_in(key, 302), out, seg, qa.struct_noise)
+        out = struct_noise_t(jax.random.fold_in(key, 302), out, seg, qa.struct_noise,
+                             gate=None if gates is None else gates[1])
     return out
 
 
-def apply_post_motion(key, out, seg, qa: QualityArtifacts):
+def apply_post_motion(key, out, seg, qa: QualityArtifacts, gates=None):
     """boundaries — runs after simulate_motion in the reference chain."""
     if qa.boundaries is not None:
-        out = boundaries_t(jax.random.fold_in(key, 304), out, seg, qa.boundaries)
+        out = boundaries_t(jax.random.fold_in(key, 304), out, seg, qa.boundaries,
+                           gate=None if gates is None else gates[2])
     return out

@@ -294,6 +294,26 @@ class FetalSynthGen:
                 artifact_meta[name] = meta
         return out, artifact_meta
 
+    def _check_shape(self, segmentation) -> None:
+        """Fail fast on a volume/config shape mismatch.
+
+        The reference adapts to the input volume's shape at runtime
+        (``deformation/affine_nonrigid.py:105`` uses ``output.shape``); this
+        framework compiles static-shape TPU programs for ``cfg.shape`` by
+        design, so a mismatched volume is a configuration error — raise a
+        clear one instead of a reshape failure deep in the warp kernels.
+        """
+        got = tuple(np.asarray(segmentation).shape)
+        want = tuple(self.cfg.shape)
+        if got != want:
+            raise ValueError(
+                f"generator is configured for shape {want} but the input "
+                f"volume is {got}. This framework compiles static-shape TPU "
+                "programs: set the generator config's `shape` (and "
+                "`spatial_deform.size`) to the data's shape, or resample the "
+                "data (scripts/resample.py)."
+            )
+
     def generate(
         self,
         image: np.ndarray | None,
@@ -307,6 +327,7 @@ class FetalSynthGen:
         """
         from .pipeline import STAGES_GENERATE
 
+        self._check_shape(segmentation)
         genparams = dict(genparams or {})
         key = self._resolve_key(genparams, key)
         seed_arr, selected_seeds, image_as_intensity = self._prepare_intensity(
@@ -349,6 +370,7 @@ class FetalSynthGen:
         """
         from .pipeline import STAGES_AUGMENT
 
+        self._check_shape(segmentation)
         genparams = dict(genparams or {})
         key = self._resolve_key(genparams, key)
         overrides = overrides_from_genparams(genparams)
@@ -403,6 +425,7 @@ class FetalSynthGen:
             genparams_out is a host dict that fully replays this sample when
             passed back (same voxel noise via the stored key).
         """
+        self._check_shape(segmentation)
         genparams = dict(genparams or {})
         key = self._resolve_key(genparams, key)
         seed_arr, selected_seeds, image_as_intensity = self._prepare_intensity(

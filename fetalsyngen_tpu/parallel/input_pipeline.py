@@ -208,6 +208,9 @@ def _make_batch_fn(
             def art_one(args):
                 key, o, sg, row = args
                 ka = jax.random.fold_in(key, 77)
+                # per-sample artifact-gate pins (present only when the stream
+                # was given genparams; absent -> trace identical to unpinned)
+                gates = row.get("gates") if isinstance(row, dict) else None
                 # stream-only bf16 matmuls (single-pass MXU) AND bf16
                 # intermediate storage (half the HBM traffic on the
                 # bandwidth-bound shear/zoom/spread chains): the artifact
@@ -216,7 +219,7 @@ def _make_batch_fn(
                 # linops.precision_scope / linops.storage_scope.
                 with _production_scopes():
                     if has_quality:
-                        o = apply_pre_motion(ka, o, sg, qa)
+                        o = apply_pre_motion(ka, o, sg, qa, gates=gates)
                     if has_motion:
                         o = motion_t(
                             jax.random.fold_in(ka, 303), o, sg, row, sm, shape,
@@ -224,7 +227,7 @@ def _make_batch_fn(
                             split_dz=split_dz,
                         )
                     if has_quality:
-                        o = apply_post_motion(ka, o, sg, qa)
+                        o = apply_post_motion(ka, o, sg, qa, gates=gates)
                 return o
 
             outs = jax.lax.map(art_one, (keys, outs, segs_o, pack))
@@ -261,6 +264,19 @@ class SyntheticStream:
             elements draw uniformly among them). The resident set rotates
             round-robin by one subject per batch, so the stream still sweeps
             the whole dataset.
+        genparams: optional generation-parameter pins applied to EVERY
+            sample the stream produces — the stream's convergence with the
+            dataset path's genparams contract (reference
+            ``docs/datasets.md`` "Fixed Image Generation"). Honored keys,
+            all under ``genparams["artifact_params"]``:
+            ``simulate_motion: {resolution_slice | resolution_slice_fac,
+            slice_thickness, gap, apply}`` pins the scanner geometry draws
+            (draw-then-override) and the motion gate; presence of a
+            non-empty ``blur_cortex`` / ``struct_noise`` / ``boundaries``
+            dict forces that artifact's gate ON (``{"apply": False}``
+            forces it OFF). The effective per-sample scalars are recorded
+            in each batch's ``meta["scanner"]``. Pins beyond these (full
+            parameter replay) remain the dataset path's surface.
     """
 
     def __init__(
@@ -275,6 +291,7 @@ class SyntheticStream:
         ns_grid: int | None = None,
         small_tier: bool = True,
         dz_split: bool = True,
+        genparams: dict | None = None,
     ):
         self.dataset = dataset
         self.cfg: GeneratorCfg = dataset.generator.cfg
@@ -286,6 +303,31 @@ class SyntheticStream:
         self._names = sorted(dataset.seed_paths.keys())
         self._segs = {}
         self._i = 0
+
+        # genparams pins (see class docstring): scanner scalar pins go to
+        # pack_motion; quality-gate pins become a per-sample (3,) int32 row
+        gp = {k: v for k, v in (genparams or {}).items() if v is not None}
+        ap = {
+            k: v
+            for k, v in (gp.get("artifact_params", {}) or {}).items()
+            if v is not None
+        }
+        self.genparams = gp
+        self._sm_gp = dict(ap.get("simulate_motion", {}) or {}) or None
+
+        def _gate_of(name: str) -> int:
+            sub = ap.get(name)
+            if sub is None:
+                return -1
+            sub = {k: v for k, v in sub.items() if v is not None}
+            if not sub:
+                return -1
+            return 0 if sub.get("apply") is False else 1
+
+        g = [_gate_of(n) for n in ("blur_cortex", "struct_noise", "boundaries")]
+        self._gates = (
+            np.asarray(g, np.int32) if any(x >= 0 for x in g) else None
+        )
 
         gen_art = getattr(dataset.generator, "artifacts", {}) or {}
         self._sm = gen_art.get("simulate_motion") if artifacts else None
@@ -427,17 +469,24 @@ class SyntheticStream:
             )
 
         self._key, sub = jax.random.split(self._key)
+        scanner_rec = None
         if self._sm is not None:
             from ..generator.artifacts.batched import pack_motion
 
             pack_host = pack_motion(
                 self._rng, B, self._shape, float(self.cfg.resolution[0]),
                 self._sm, self.cube, self.ns_grid, small_cube=self.small_cube,
+                genparams=self._sm_gp, with_record=True,
             )
+            scanner_rec = pack_host.pop("_record")
+            if self._gates is not None:
+                pack_host["gates"] = np.broadcast_to(self._gates, (B, 3)).copy()
             pack = jax.tree.map(jnp.asarray, pack_host)
         else:
             pack_host = {}
-            pack = {}
+            if self._gates is not None:
+                pack_host["gates"] = np.broadcast_to(self._gates, (B, 3)).copy()
+            pack = jax.tree.map(jnp.asarray, pack_host)
 
         # subject per batch ELEMENT (host draw, so the per-sample subject
         # names are known without a device fetch)
@@ -461,6 +510,10 @@ class SyntheticStream:
             "pack": {k: np.asarray(v) for k, v in pack_host.items()},
             "batch_size": B,
         }
+        if scanner_rec is not None:
+            # effective per-sample scanner scalars (mm) — the pinned values
+            # when genparams pins are active (see class docstring)
+            meta["scanner"] = scanner_rec
         return {
             "image": images,
             "label": labels,

