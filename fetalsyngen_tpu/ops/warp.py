@@ -440,7 +440,10 @@ def _hat_pass_impl(
         else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     )
     lane_affine = disp is not None and disp.ndim == 2 and disp.shape[0] == 3
-    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
+    # whole-row lane block for unit-slope passes: covers the 640 tier too
+    # (VMEM at (128, 2048) f32 staging is ~1 MB — far under budget); the
+    # 128-fallback there cost 5x the grid steps
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 640) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0
@@ -468,10 +471,7 @@ def _hat_pass_impl(
 
     with_disp = disp is not None
     LB = lane_block
-    # 64 rows/block measured best on v5e: the passes are TAP-bound (window
-    # spans grow with the row extent — bigger blocks execute more taps per
-    # element), and the HBM copy floor is byte-bound, not step-bound.
-    BR = BLOCK_ROWS
+    BR = _choose_block_rows(R, H)
     _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
         _hat_kernel,
@@ -532,6 +532,25 @@ def _hat_pass_impl(
 # <= WIN - LB = 256, i.e. span <= 128 independent of the lane block. Larger
 # spans would trace out-of-bounds window slices — route them to the jnp path.
 V1_MAXSPAN = 128
+
+
+def _choose_block_rows(R: int, H_rows: int) -> int:
+    """Rows per block for one hat pass.
+
+    64 measured best at 384^3-and-below shapes (the passes are TAP-bound
+    there: window spans grow with the row extent). At the big scanner tiers
+    the economics flip: a (cube^2 rows x cube lanes) pass at 640 runs 32k
+    grid steps whose per-step fixed cost (~1.5 us: grid iteration + block
+    DMA latency) dominates the tap math — profiler-measured 50 ms for the
+    z-extract deviation hat, ~25% of an all-640 stream batch. 128 rows
+    halves the step count; within-block spread grows by ~slope*64 extra
+    rows, well inside one extra tap chunk for the scanner's small-tilt
+    passes. Output is bit-identical (<= 2 nonzero taps per element,
+    accumulated in ascending tap order regardless of block geometry).
+    """
+    if R >= 262144 and R % 128 == 0 and H_rows % 128 == 0:
+        return 128
+    return BLOCK_ROWS
 
 
 def _v1_ok(R, W, OW, H_rows, maxspan=0):
@@ -1327,7 +1346,8 @@ def _hat_pass_pair_impl(
         if per_slice
         else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     )
-    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 512) else 128
+    # whole-row lane block incl. the 640 tier (see _hat_pass_impl)
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 640) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0
@@ -1341,10 +1361,7 @@ def _hat_pass_pair_impl(
     with_disp = disp is not None
     lane_affine = with_disp and disp.ndim == 2 and disp.shape[0] == 3
     LB = lane_block
-    # 64 rows/block measured best on v5e: the passes are TAP-bound (window
-    # spans grow with the row extent — bigger blocks execute more taps per
-    # element), and the HBM copy floor is byte-bound, not step-bound.
-    BR = BLOCK_ROWS
+    BR = _choose_block_rows(R, H)
     _, width, _ = _win_geometry(W, LB)
     kernel = functools.partial(
         _hat_pair_kernel,

@@ -228,3 +228,51 @@ def test_hat_pass_bf16_storage_io():
     np.testing.assert_allclose(
         np.asarray(oa).astype(np.float32), ref, atol=2e-2, rtol=2e-2
     )
+
+
+# The 128-row block shape mirrors the production constraint H % 128 == 0
+# (blocks never straddle slices, so the within-block span stays inside the
+# budget); a straddling H would add a row_i term the budgets exclude.
+SHAPE128 = (16, 128, 256)
+
+
+def _vol128(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random(SHAPE128, np.float32))
+
+
+@pytest.mark.parametrize("unit_slope", [False, True])
+def test_hat_pass_128_row_blocks_match_spec(unit_slope, monkeypatch):
+    """The adaptive 128-row block path (engaged at scanner-tier shapes,
+    R >= 512^2, H % 128 == 0) must be value-identical to the 64-row path —
+    block geometry is pure scheduling (<= 2 nonzero taps per element,
+    ascending tap order either way). Forced on at test scale via
+    _choose_block_rows."""
+    monkeypatch.setattr(W, "_choose_block_rows", lambda R, H: 128)
+    v = _vol128(11)
+    rng = np.random.default_rng(12)
+    disp = jnp.asarray(
+        np.clip(rng.normal(0, 4.0, SHAPE128), -14, 14).astype(np.float32)
+    )
+    coefs = (0.2, 0.1, 1.0, 0.0)
+    out = W.hat_pass(v, coefs, disp, SHAPE128, 48, False, unit_slope=unit_slope)
+    ref = _jnp_reference(v.reshape(-1, SHAPE128[2]), coefs, disp, SHAPE128, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_hat_pair_128_row_blocks_match_spec(monkeypatch):
+    monkeypatch.setattr(W, "_choose_block_rows", lambda R, H: 128)
+    va, vb = _vol128(13), _vol128(14)
+    rng = np.random.default_rng(15)
+    disp = jnp.asarray(
+        np.clip(rng.normal(0, 4.0, SHAPE128), -14, 14).astype(np.float32)
+    )
+    coefs = (0.1, 0.05, 1.0, 5.0)
+    oa, ob = W.hat_pass_pair(
+        va, vb, coefs, disp, SHAPE128, 48, modes=(False, True), unit_slope=True
+    )
+    x2 = SHAPE128[2]
+    ra = _jnp_reference(va.reshape(-1, x2), coefs, disp, SHAPE128, False)
+    rb = _jnp_reference(vb.reshape(-1, x2), coefs, disp, SHAPE128, True)
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ra), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ob), np.asarray(rb), atol=5e-5)
