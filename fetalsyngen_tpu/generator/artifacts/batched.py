@@ -35,6 +35,10 @@ Known deviations vs the host path (documented, stream-only):
 - zero-valid-slice stacks are dropped instead of redrawn (the reference
   retry, ``simulate_reco.py:366``, virtually never fires for brain-centered
   stacks); the overflow-stack discard IS replicated;
+- the recon WEIGHT field rides pooled grids (``scanner._recon_one``
+  ``coarse_inv``; ``SyntheticStream(coarse_w=...)`` / ``FSG_COARSE_W``):
+  geometry-only, error confined to thin slab-edge bands, corr > 0.99 vs the
+  exact chain (same bar as the small-frame / dz-split approximations);
 - slice validity comes from a 4x-coarse warped-mask z-profile
   (``scanner._valid_coarse``) instead of the exact per-slice mask masses —
   the threshold is relative, so only band-edge slices near the cut can
@@ -427,7 +431,31 @@ def _identity_stack_row(ns_grid: int):
         scal=np.array([0.2, 1.0, 0.0, 0.0], np.float32),
         qinv=0, iang=np.zeros(3, np.float32), iscl=1.0,
         idlt=np.zeros(3, np.float32), dz_ok=0.0,
+        cqinv=0, ciang=np.zeros(3, np.float32), ciscl=1.0,
+        cidlt=np.zeros(3, np.float32),
     )
+
+
+def _coarse_inv_decomp(A, t, cube_s: int) -> tuple:
+    """Decompose the stack->recon inverse map for the COARSE weight chain.
+
+    The chain runs on the stack frame pooled by ``f = cube_s // 128`` and
+    the recon frame pooled by ``g = 2`` (``scanner._recon_one``
+    ``coarse_inv``). Pooled-grid coordinates relate to fine ones by
+    ``p_f = f p_c + (f-1)/2``, so the fine map ``p_in = A q + t`` becomes
+    ``p_in_c = (A g/f) q_c + (A ((g-1)/2) 1 + t - ((f-1)/2) 1) / f`` —
+    still rotation-times-isotropic-scale, decomposed on the 128 grid.
+    """
+    from ...ops.warp import decompose_affine_paeth_host
+
+    f = max(1, cube_s // 128)
+    g = 2
+    A = np.asarray(A, np.float64)
+    t = np.asarray(t, np.float64)
+    ones = np.ones(3)
+    A_c = A * (g / f)
+    t_c = (A @ (ones * (g - 1) / 2.0) + t - ones * (f - 1) / 2.0) / f
+    return decompose_affine_paeth_host(A_c, t_c, 128)
 
 
 def _dz_split_ok(G, Grec, ns, gap_u, margin: float = 2.05) -> float:
@@ -674,23 +702,27 @@ def pack_motion(
                 )
                 # inverse px-frame -> recon map: isotropic scale 1/fs
                 c_sv = np.full(3, (cube_s - 1) / 2.0)
-                qinv, iang, iscl, idlt = decompose_affine_paeth_host(
-                    geo["Minv"] / fs, c_sv - geo["Minv"] @ c_vol / fs, cube_s
-                )
+                A_inv = geo["Minv"] / fs
+                t_inv = c_sv - geo["Minv"] @ c_vol / fs
             else:
                 Greset = _slice_affine_table(
                     mats_reset, geo["Minv"], geo["t_stack"], c_vol, ns, ns_grid
                 )
                 # inverse stack->recon map (res_recon == res: scale 1, same grid)
-                qinv, iang, iscl, idlt = decompose_affine_paeth_host(
-                    geo["Minv"], -geo["Minv"] @ geo["t_stack"], cube_s
-                )
+                A_inv = geo["Minv"]
+                t_inv = -geo["Minv"] @ geo["t_stack"]
+            qinv, iang, iscl, idlt = decompose_affine_paeth_host(
+                A_inv, t_inv, cube_s
+            )
+            cqinv, ciang, ciscl, cidlt = _coarse_inv_decomp(A_inv, t_inv, cube_s)
             qi, ang, ws, wd = geo["fwd"]
             for name, val in (
                 ("q_idx", qi), ("angles", ang), ("wscale", ws), ("wdelta", wd),
                 ("G", geo["G"]), ("Grec", Grec), ("Greset", Greset),
                 ("scal", np.array([thr_frac, gamma, 1.0 if gamma_on else 0.0, sigma], np.float32)),
                 ("qinv", qinv), ("iang", iang), ("iscl", iscl), ("idlt", idlt),
+                ("cqinv", cqinv), ("ciang", ciang), ("ciscl", ciscl),
+                ("cidlt", cidlt),
                 ("dz_ok", _dz_split_ok(geo["G"], Grec, ns, gap_u)),
             ):
                 per_stack[name].append(val)
@@ -731,7 +763,7 @@ def pack_motion(
         )
 
     out = {}
-    int_keys = {"q_idx", "qinv", "ns", "num_stacks", "mis_idx", "ngauss", "mres_idx", "octave", "tier_idx"}
+    int_keys = {"q_idx", "qinv", "cqinv", "ns", "num_stacks", "mis_idx", "ngauss", "mres_idx", "octave", "tier_idx"}
     bool_keys = {"motion_on", "small", "smooth_on", "merge_on", "rm_on", "mis_on"}
     for k, v in rows.items():
         arr = np.asarray(v)
@@ -751,7 +783,8 @@ def pack_motion(
 
 
 def motion_t(key, out, seg, row, sm, shape, cube: int | tuple, ns_grid: int,
-             small_cube: int | None = None, split_dz: bool = False):
+             small_cube: int | None = None, split_dz: bool = False,
+             coarse_w: bool = False):
     """Traced SimulateMotion for ONE sample from packed host geometry.
 
     A single ``lax.scan`` over ``Kb`` attempt stacks fuses acquisition,
@@ -841,11 +874,21 @@ def motion_t(key, out, seg, row, sm, shape, cube: int | tuple, ns_grid: int,
                 )
                 grec = jnp.where(hit[:, None, None], st["Greset"], st["Grec"])
                 rs_u = jnp.float32(1.0) if small else row["rs"]
+                use_coarse = (
+                    coarse_w
+                    and cube % 128 == 0
+                    and all(s % 2 == 0 for s in shape)
+                )
                 v_s, w_s = _recon_one(
                     slices, jnp.where(ok, keep, 0.0), grec, rs_u,
                     row["gap_vox"], row["z0"], row["sig_rec"], st["qinv"],
                     st["iang"], st["iscl"], st["idlt"], cube, ns_grid, shape,
                     split_dz=split_f,
+                    coarse_inv=(
+                        (st["cqinv"], st["ciang"], st["ciscl"], st["cidlt"])
+                        if use_coarse
+                        else None
+                    ),
                 )
                 return v_acc + v_s, w_acc + w_s, ok, overflow, nv
 
@@ -867,7 +910,8 @@ def motion_t(key, out, seg, row, sm, shape, cube: int | tuple, ns_grid: int,
 
         zeros = jnp.zeros(shape, jnp.float32)
         stack_keys = ("q_idx", "angles", "wscale", "wdelta", "G", "Grec",
-                      "Greset", "scal", "qinv", "iang", "iscl", "idlt", "dz_ok")
+                      "Greset", "scal", "qinv", "iang", "iscl", "idlt",
+                      "cqinv", "ciang", "ciscl", "cidlt", "dz_ok")
         xs = ({k: row[k] for k in stack_keys}, jnp.arange(row["q_idx"].shape[0]))
         (count, _, _, value, weight), _ = lax.scan(
             body,

@@ -339,7 +339,7 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid, split_dz=False
     from ...ops.linops import einsum_store
     if pair:
         x, m = hat_pass_pair(
-            x, m, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 48,
+            x, m, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 128,
             modes=(False, False), unit_slope=True,
         )
         # n-extraction emitting (n, u, v) directly — the relayout rides the
@@ -347,27 +347,27 @@ def _extract_pair(Wv, Wm, gap_vox, z0, dz, dv, du, cube, ns_grid, split_dz=False
         m = einsum_store("oi,jki->okj", Mzn, m)
     else:
         x = hat_pass(
-            x, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 48, False,
+            x, (0.0, 0.0, 1.0, 0.0), dz_tab, (cube, cube, cube), 128, False,
             unit_slope=True,
         )
     x = einsum_store("oi,jki->okj", Mzn, x)  # (n, u, v)
     # dv/du are per-slice AFFINE — coef-table passes, no displacement volume
     if pair:
         x, m = hat_pass_pair(
-            x, m, dv, None, (ns_grid, cube, cube), 48,
+            x, m, dv, None, (ns_grid, cube, cube), 128,
             modes=(False, False), unit_slope=True,
         )
         m = jnp.transpose(m, (0, 2, 1))
     else:
-        x = hat_pass(x, dv, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
+        x = hat_pass(x, dv, None, (ns_grid, cube, cube), 128, False, unit_slope=True)
     x = jnp.transpose(x, (0, 2, 1))  # (n, v, u)
     if pair:
         x, m = hat_pass_pair(
-            x, m, du, None, (ns_grid, cube, cube), 48,
+            x, m, du, None, (ns_grid, cube, cube), 128,
             modes=(False, False), unit_slope=True,
         )
     else:
-        x = hat_pass(x, du, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
+        x = hat_pass(x, du, None, (ns_grid, cube, cube), 128, False, unit_slope=True)
     return x, m
 
 
@@ -664,6 +664,7 @@ def _recon_one(
     ns_grid: int,
     out_shape: tuple,
     split_dz: bool = False,
+    coarse_inv=None,
 ):
     """One stack's reconstruction placement, traced.
 
@@ -681,6 +682,18 @@ def _recon_one(
     columns use hat falloff (no edge clamp): z rows outside the slab get
     zero weight, matching the reference adjoint's PSF falloff
     (``simulate_reco.py:38-54``) rather than interp_matrix's row clamping.
+
+    ``coarse_inv`` (stream-only): ``(cqinv, ciang, ciscl, cidlt)`` from
+    ``batched._coarse_inv_decomp`` switches the WEIGHT chain onto pooled
+    grids — stack frame pooled by ``f = cube // 128`` (always a 128 cube),
+    recon frame pooled by 2 — with the final weight bilinearly upsampled to
+    ``out_shape``. The weight field is a function of geometry and
+    ``keep_f`` only (never of image data) and is smooth at the pooling
+    scale except within ~gap of dropped-slice dips, so ``value/weight``
+    stays within a test-pinned bound of the exact chain while the weight's
+    share of the recon cost (half the dz pair pass, one of the two Mn2z
+    einsums/spreads, and half the final rigid pair warp) drops to the 128^3
+    grid. Requires ``cube % 128 == 0`` and even ``out_shape``.
     """
     c_ss = (cube - 1) / 2.0
     lanes = jnp.arange(cube, dtype=jnp.float32)
@@ -727,9 +740,9 @@ def _recon_one(
     # slice (a broadcast of keep_f), and an edge-clamped hat pass maps a
     # constant row to itself — w only starts changing at the slice-index
     # deviation pass, where adjacent slices' weights mix.
-    x = hat_pass(masked, du_tab, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
+    x = hat_pass(masked, du_tab, None, (ns_grid, cube, cube), 128, False, unit_slope=True)
     x = jnp.transpose(x, (0, 2, 1))  # (n, u, v)
-    x = hat_pass(x, dv_tab, None, (ns_grid, cube, cube), 48, False, unit_slope=True)
+    x = hat_pass(x, dv_tab, None, (ns_grid, cube, cube), 128, False, unit_slope=True)
     x = jnp.transpose(x, (1, 2, 0))  # (u, v, n)
     # This is the one pass with the slice axis on LANES; the hat kernels
     # need a 128-multiple lane count (ops/warp._v1_ok), so a 32-granular
@@ -743,16 +756,24 @@ def _recon_one(
         x = jnp.pad(x, ((0, 0), (0, 0), (0, nsp - ns_grid)))
         keep_l = jnp.pad(keep_f, (0, nsp - ns_grid))
         dzr_l = jnp.pad(dzr_tab, ((0, 0), (0, nsp - ns_grid)))
-    w = jnp.broadcast_to(
-        keep_l[None, None, :], (cube, cube, nsp)
-    ).astype(jnp.float32)
-    x, w = hat_pass_pair(
-        x, w, (0.0, 0.0, 1.0, 0.0), dzr_l,
-        (cube, cube, nsp), 48, modes=(False, False), unit_slope=True,
-    )
+    if coarse_inv is None:
+        w = jnp.broadcast_to(
+            keep_l[None, None, :], (cube, cube, nsp)
+        ).astype(jnp.float32)
+        x, w = hat_pass_pair(
+            x, w, (0.0, 0.0, 1.0, 0.0), dzr_l,
+            (cube, cube, nsp), 128, modes=(False, False), unit_slope=True,
+        )
+    else:
+        x = hat_pass(
+            x, (0.0, 0.0, 1.0, 0.0), dzr_l, (cube, cube, nsp), 128, False,
+            unit_slope=True,
+        )
+        w = None
     if nsp != ns_grid:
         x = x[..., :ns_grid]
-        w = w[..., :ns_grid]
+        if w is not None:
+            w = w[..., :ns_grid]
     # n->z placement and the z-thickness recon PSF act on the same axis in
     # the same frame — one composed (cube, ns_grid) matmul for both, whose
     # einsum emits (z, v, u) directly (no separate transpose).
@@ -790,20 +811,97 @@ def _recon_one(
     from ...ops.linops import einsum_store
 
     x = einsum_store("oi,jki->okj", Mn2z, x)  # (z, v, u)
-    w = einsum_store("oi,jki->okj", Mn2z, w)
 
-    def spread(y):
+    def spread(y, m):
         # in-plane recon PSF (simulate_reco.py:338-344): sinc fused with the
         # inverse xy scale (2 contractions; the z part rode Mn2z above)
-        y = apply_axis_matrix(y, inv_scale_blur_m, 1)
-        y = apply_axis_matrix(y, inv_scale_blur_m, 2)
+        y = apply_axis_matrix(y, m, 1)
+        y = apply_axis_matrix(y, m, 2)
         return y
 
-    x, w = spread(x), spread(w)
-    v_s, w_s = warp_rigid_pair_traced(
-        x, w, qinv_idx, inv_angles, inv_scale, inv_delta, out_shape=out_shape,
+    if coarse_inv is None:
+        w = einsum_store("oi,jki->okj", Mn2z, w)
+        x, w = spread(x, inv_scale_blur_m), spread(w, inv_scale_blur_m)
+        v_s, w_s = warp_rigid_pair_traced(
+            x, w, qinv_idx, inv_angles, inv_scale, inv_delta,
+            out_shape=out_shape, modes=(False, False),
+        )
+        return v_s, w_s
+
+    # --- coarse weight chain (see docstring) -------------------------------
+    x = spread(x, inv_scale_blur_m)
+    v_s, _ = warp_rigid_pair_traced(
+        x, None, qinv_idx, inv_angles, inv_scale, inv_delta,
+        out_shape=out_shape, modes=(False, False),
+    )
+
+    f = max(1, cube // 128)
+    cc = cube // f
+    cqinv, ciang, ciscl, cidlt = coarse_inv
+    # coarse (u, v) slice-index deviation pass: the pooled row index maps to
+    # fine rows by u_f = f u_c + (f-1)/2, so the lane-affine table scales by
+    # f with the center offset folded into the constant
+    h = (f - 1) / 2.0
+    dzr_c = jnp.stack(
+        [dzr_l[0] * f, dzr_l[1] * f, dzr_l[2] + (dzr_l[0] + dzr_l[1]) * h]
+    )
+    w_c = jnp.broadcast_to(keep_l[None, None, :], (cc, cc, nsp)).astype(
+        jnp.float32
+    )
+    w_c = hat_pass(
+        w_c, (0.0, 0.0, 1.0, 0.0), dzr_c, (cc, cc, nsp), 128, False,
+        unit_slope=True,
+    )
+    if nsp != ns_grid:
+        w_c = w_c[..., :ns_grid]
+    # coarse n->z placement + z PSF: coarse z lanes sit at fine positions
+    # f z_c + (f-1)/2; the blur kernel narrows to sigma/f coarse units
+    zc_f = f * jnp.arange(cc, dtype=jnp.float32) + h
+    sigz_c = toeplitz_blur_matrix(sig_rec[0] / f, cc, _BLUR_HALF)
+    if use_split:
+        d_c = (zc_f[:, None] - centers[None, :]) / gap_vox
+        Mp_c = jnp.maximum(0.0, 1.0 - jnp.abs(d_c))
+        qz_c = (zc_f - z0) / gap_vox
+        colsn_c = jax.lax.broadcasted_iota(jnp.int32, (cc, ns_grid), 1)
+        Mp_c = jnp.where(
+            (qz_c < 0)[:, None],
+            (colsn_c == 0).astype(jnp.float32),
+            jnp.where(
+                (qz_c > ns_grid - 1)[:, None],
+                (colsn_c == ns_grid - 1).astype(jnp.float32),
+                Mp_c,
+            ),
+        )
+        Mn2z_c = jnp.matmul(sigz_c, Mp_c, precision=_prec())
+    else:
+        Mn2z_c = jnp.matmul(
+            sigz_c, interp_matrix((zc_f - z0) / gap_vox, ns_grid),
+            precision=_prec(),
+        )
+    w_c = einsum_store("oi,jki->okj", Mn2z_c, w_c)  # (z_c, v_c, u_c)
+    # coarse inverse-scale + in-plane PSF: coarse out lane -> fine position
+    # -> fine source -> coarse source
+    src_c = ((zc_f - c_ss) / rs + c_ss - h) / f
+    m_c = jnp.matmul(
+        interp_matrix(src_c, cc),
+        toeplitz_blur_matrix(sig_rec[1] / f, cc, _BLUR_HALF),
+        precision=_prec(),
+    )
+    w_c = spread(w_c, m_c)
+    os_c = tuple(s // 2 for s in out_shape)
+    w_c, _ = warp_rigid_pair_traced(
+        w_c, None, cqinv, ciang, ciscl, cidlt, out_shape=os_c,
         modes=(False, False),
     )
+    # bilinear upsample (recon frame pooled by 2): fine voxel p reads coarse
+    # (p - 0.5) / 2, edge-clamped
+    w_s = w_c
+    for ax in range(3):
+        up = interp_matrix(
+            (jnp.arange(out_shape[ax], dtype=jnp.float32) - 0.5) / 2.0,
+            os_c[ax],
+        )
+        w_s = apply_axis_matrix(w_s, up, ax)
     return v_s, w_s
 
 

@@ -158,6 +158,7 @@ def _gen_batch(sub, bank, seg, lo, hi, B, cfg):
 def _make_batch_fn(
     cfg, shape, qa, sm, cube: int, ns_grid: int, B: int, lo: int,
     small_cube: int | None = None, split_dz: bool = False,
+    coarse_w: bool = False,
 ):
     """Build the fused per-batch program: seed composition from a multi-
     subject bank, the batched synth pipeline, and (when configured) the FULL
@@ -224,7 +225,7 @@ def _make_batch_fn(
                         o = motion_t(
                             jax.random.fold_in(ka, 303), o, sg, row, sm, shape,
                             cube, ns_grid, small_cube=small_cube,
-                            split_dz=split_dz,
+                            split_dz=split_dz, coarse_w=coarse_w,
                         )
                     if has_quality:
                         o = apply_post_motion(ka, o, sg, qa, gates=gates)
@@ -291,6 +292,7 @@ class SyntheticStream:
         ns_grid: int | None = None,
         small_tier: bool = True,
         dz_split: bool = True,
+        coarse_w: bool = True,
         genparams: dict | None = None,
     ):
         self.dataset = dataset
@@ -403,6 +405,12 @@ class SyntheticStream:
         if env_split in ("0", "1"):
             dz_split = env_split == "1"
         self.dz_split = bool(dz_split)
+        # coarse recon-weight chain (stream-only approximation; see
+        # scanner._recon_one ``coarse_inv``). FSG_COARSE_W=1/0 forces it.
+        env_cw = os.environ.get("FSG_COARSE_W")
+        if env_cw in ("0", "1"):
+            coarse_w = env_cw == "1"
+        self.coarse_w = bool(coarse_w)
         self.mix_subjects = max(1, min(int(mix_subjects), len(self._names)))
         self._resident: list[str] = []
         self._mega = None
@@ -465,7 +473,7 @@ class SyntheticStream:
             self._batch_fn = _make_batch_fn(
                 self.cfg, self._shape, self._qa, self._sm, self.cube,
                 self.ns_grid, B, lo, small_cube=self.small_cube,
-                split_dz=self.dz_split,
+                split_dz=self.dz_split, coarse_w=self.coarse_w,
             )
 
         self._key, sub = jax.random.split(self._key)
@@ -545,7 +553,7 @@ class SyntheticStream:
             self._batch_fn = _make_batch_fn(
                 self.cfg, self._shape, self._qa, self._sm, self.cube,
                 self.ns_grid, B, lo, small_cube=self.small_cube,
-                split_dz=self.dz_split,
+                split_dz=self.dz_split, coarse_w=self.coarse_w,
             )
         mega, megasegs, hi = self._stack_banks(list(meta["resident"]))
         pack = {k: jnp.asarray(v) for k, v in meta["pack"].items()}

@@ -413,6 +413,50 @@ class TestMotionTraced:
         c = np.corrcoef(got_s.ravel(), got_b.ravel())[0, 1]
         assert c > 0.98, c
 
+    def test_coarse_weight_matches_exact_engine(self, vols):
+        """The coarse recon-weight chain (``scanner._recon_one``
+        ``coarse_inv``: weight on f-pooled stack / 2-pooled recon grids,
+        bilinear upsample) vs the exact full-resolution weight. The weight
+        is geometry-only and smooth except at slab edges, so the error is a
+        thin band at each stack's slab boundary, diluted by multi-stack
+        accumulation — same acceptance bar as the small-frame (0.98) and
+        dz-split (0.99) stream approximations."""
+        from scipy.ndimage import gaussian_filter
+
+        _, seg = vols
+        segn = np.asarray(seg)
+        out = jnp.asarray(
+            gaussian_filter(
+                (segn > 0).astype(np.float32) * 100 + (segn > 2) * 80, 1.5
+            ).astype(np.float32)
+        )
+        sm = _tiny_motion(prob=1.0)
+        cube, nsg = 256, 32  # 256 pools by f=2 (the smallest real factor)
+        pack = jax.tree.map(
+            jnp.asarray,
+            ba.pack_motion(np.random.default_rng(7), 2, SHAPE, 0.5, sm, cube, nsg),
+        )
+        for b in range(2):
+            row = jax.tree.map(lambda a: a[b], pack)
+            exact = np.asarray(
+                ba.motion_t(
+                    jax.random.PRNGKey(5), out, seg, row, sm, SHAPE, cube, nsg,
+                    coarse_w=False,
+                )
+            )
+            coarse = np.asarray(
+                ba.motion_t(
+                    jax.random.PRNGKey(5), out, seg, row, sm, SHAPE, cube, nsg,
+                    coarse_w=True,
+                )
+            )
+            assert np.isfinite(coarse).all()
+            assert not np.allclose(exact, np.asarray(out))  # motion ran
+            c = np.corrcoef(exact.ravel(), coarse.ravel())[0, 1]
+            assert c > 0.99, (b, c)
+            # the median voxel is untouched (error is slab-edge bands only)
+            assert np.percentile(np.abs(exact - coarse), 50) < 0.5
+
     def test_dz_split_matches_exact_engine(self, vols):
         """The dz-split engine (per-slice z translation folded into the
         extraction/placement matmuls, tilt-only hat passes —

@@ -27,6 +27,43 @@ SHAPE = (256, 256, 256)
 TIERS = (384, 512, 640)
 NSG = 96  # stream's shape-aware slice grid at the default config
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cube", "coarse"))
+def _acquire_both(vol_p, mask_p, cmask, st, row, key, sp_void, sp_thr,
+                  cube, coarse):
+    """One-stack acquisition, exact-mask or coarse-validity mode, as ONE
+    compiled program per (tier, mode) — eager per-op dispatch through the
+    tunneled runtime would pay ~20 ms per op."""
+    args = (
+        st["q_idx"], st["angles"], st["wscale"], st["wdelta"], st["G"],
+        row["rs"], row["gap_vox"], row["z0"], row["sig"],
+        st["scal"][0], row["ns"], key,
+        st["scal"][1], st["scal"][2] > 0.5, st["scal"][3],
+        sp_void, sp_thr, cube, NSG,
+    )
+    if coarse:
+        return sc._acquire_one(vol_p, None, *args, coarse_mask=cmask)
+    return sc._acquire_one(vol_p, mask_p, *args)
+
+
+@partial(jax.jit, static_argnames=("cube", "split"))
+def _chain_jit(vol_p, cmask, st, row, sp_void, sp_thr, cube, split):
+    slices, valid = sc._acquire_one(
+        vol_p, None, st["q_idx"], st["angles"], st["wscale"], st["wdelta"],
+        st["G"], row["rs"], row["gap_vox"], row["z0"], row["sig"],
+        st["scal"][0], row["ns"], jax.random.PRNGKey(7), st["scal"][1],
+        st["scal"][2] > 0.5, st["scal"][3], sp_void, sp_thr, cube, NSG,
+        coarse_mask=cmask, split_dz=jnp.float32(1.0) if split else False,
+    )
+    v, w = sc._recon_one(
+        slices, valid, st["Grec"], row["rs"], row["gap_vox"], row["z0"],
+        row["sig_rec"], st["qinv"], st["iang"], st["iscl"], st["idlt"],
+        cube, NSG, SHAPE, split_dz=jnp.float32(1.0) if split else False,
+    )
+    return v, w
+
 
 @pytest.fixture(scope="module")
 def sm():
@@ -76,15 +113,15 @@ def test_coarse_validity_bound_at_tier(sm, vols, pin, cube):
             k: row[k][0]
             for k in ("q_idx", "angles", "wscale", "wdelta", "G", "scal")
         }
-        args = (
-            st["q_idx"], st["angles"], st["wscale"], st["wdelta"], st["G"],
-            row["rs"], row["gap_vox"], row["z0"], row["sig"],
-            st["scal"][0], row["ns"], jax.random.PRNGKey(b),
-            st["scal"][1], st["scal"][2] > 0.5, st["scal"][3],
-            sp.prob_void, sp.slice_noise_threshold, cube, NSG,
+        row_s = {k: row[k] for k in ("rs", "gap_vox", "z0", "sig", "ns")}
+        _, v_exact = _acquire_both(
+            vol_p, mask_p, cmask, st, row_s, jax.random.PRNGKey(b),
+            sp.prob_void, sp.slice_noise_threshold, cube, False,
         )
-        _, v_exact = sc._acquire_one(vol_p, mask_p, *args)
-        _, v_coarse = sc._acquire_one(vol_p, None, *args, coarse_mask=cmask)
+        _, v_coarse = _acquire_both(
+            vol_p, mask_p, cmask, st, row_s, jax.random.PRNGKey(b),
+            sp.prob_void, sp.slice_noise_threshold, cube, True,
+        )
         ve, vc = np.asarray(v_exact), np.asarray(v_coarse)
         assert ve.sum() > 0, "degenerate stack (no valid slices)"
         diff = int(np.abs(ve - vc).sum())
@@ -98,10 +135,13 @@ def test_coarse_validity_bound_at_tier(sm, vols, pin, cube):
 
 @pytest.mark.parametrize("pin,cube", TIER_PINS)
 def test_dz_split_bound_at_tier(sm, vols, pin, cube):
-    """dz-split acquire+recon vs the exact engine at the production tier,
-    on a stack whose pack-time separation proof holds (``dz_ok``): the split
-    factorization must reproduce the exact chain's reconstruction closely
-    (it is exact at plane centers; tilt deviations stay within tolerance)."""
+    """At each production tier, on a dz_ok stack: (a) the compiled Mosaic
+    kernels must match the XLA fallback on the EXACT engine — this is the
+    regression test for the round-5 span-overflow bug (production per-slice
+    translation spreads reach ~104 frame units at p95; the old maxspan=48
+    clamped taps and corrupted whole blocks, corr 0.896 vs the fallback);
+    (b) the dz-split engine stays within its documented first-order bound
+    of the exact engine (same 0.99-corr bar as the CPU suite)."""
     out, seg = vols
     sp = sm.scanner_args
     # search a few packs for a dz_ok-proven stack at this tier (~21% of
@@ -125,32 +165,30 @@ def test_dz_split_bound_at_tier(sm, vols, pin, cube):
     }
     vol_p = sc._pad_centered(out, cube)
     cmask = sc._coarse_mask(sc._pad_centered((seg > 0).astype(jnp.float32), cube))
+    row_s = {k: row[k] for k in ("rs", "gap_vox", "z0", "sig", "sig_rec", "ns")}
 
-    def chain(split):
-        slices, valid = sc._acquire_one(
-            vol_p, None, st["q_idx"], st["angles"], st["wscale"], st["wdelta"],
-            st["G"], row["rs"], row["gap_vox"], row["z0"], row["sig"],
-            st["scal"][0], row["ns"], jax.random.PRNGKey(7), st["scal"][1],
-            st["scal"][2] > 0.5, st["scal"][3], sp.prob_void,
-            sp.slice_noise_threshold, cube, NSG, coarse_mask=cmask,
-            split_dz=split,
-        )
-        v, w = sc._recon_one(
-            slices, valid, st["Grec"], row["rs"], row["gap_vox"], row["z0"],
-            row["sig_rec"], st["qinv"], st["iang"], st["iscl"], st["idlt"],
-            cube, NSG, SHAPE, split_dz=split,
-        )
-        return v, w
+    from fetalsyngen_tpu.ops import warp as W
 
-    v0, w0 = chain(False)
-    v1, w1 = chain(jnp.float32(1.0))
-    r0 = np.asarray(v0) / np.maximum(np.asarray(w0), 1e-6)
-    r1 = np.asarray(v1) / np.maximum(np.asarray(w1), 1e-6)
+    v0, w0 = _chain_jit(vol_p, cmask, st, row_s, sp.prob_void,
+                        sp.slice_noise_threshold, cube, False)
+    with W.force_jnp_fallback():
+        v0f, w0f = _chain_jit(vol_p, cmask, st, row_s, sp.prob_void,
+                              sp.slice_noise_threshold, cube, False)
+    v1, w1 = _chain_jit(vol_p, cmask, st, row_s, sp.prob_void,
+                        sp.slice_noise_threshold, cube, True)
     m = np.asarray(w0) > 0.1
     assert m.sum() > 1000, "reconstruction footprint unexpectedly small"
-    # same-key noise cancels; remaining diff is the split factorization's
-    # tilt deviation — tiny relative to the ~100-intensity dynamic range
-    err = np.abs(r0[m] - r1[m])
-    assert np.quantile(err, 0.99) < 2.0, (cube, float(np.quantile(err, 0.99)))
-    cc = np.corrcoef(r0[m].ravel(), r1[m].ravel())[0, 1]
-    assert cc > 0.995, (cube, cc)
+    r0 = (np.asarray(v0) / np.maximum(np.asarray(w0), 1e-6))[m]
+    rf = (np.asarray(v0f) / np.maximum(np.asarray(w0f), 1e-6))[m]
+    r1 = (np.asarray(v1) / np.maximum(np.asarray(w1), 1e-6))[m]
+    # (a) Mosaic == fallback on the exact engine (strict: no span clamps
+    # may fire on this stack's geometry)
+    err_k = np.abs(r0 - rf)
+    assert np.quantile(err_k, 0.999) < 0.1, (cube, float(np.quantile(err_k, 0.999)))
+    # (b) split vs exact: documented first-order deviation (same-key noise
+    # cancels; remaining diff is slab-edge tilt attribution)
+    cc = np.corrcoef(r0.ravel(), r1.ravel())[0, 1]
+    assert cc > 0.99, (cube, cc)
+    assert np.quantile(np.abs(r0 - r1), 0.99) < 15.0, (
+        cube, float(np.quantile(np.abs(r0 - r1), 0.99))
+    )
