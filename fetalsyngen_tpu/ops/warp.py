@@ -440,10 +440,16 @@ def _hat_pass_impl(
         else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     )
     lane_affine = disp is not None and disp.ndim == 2 and disp.shape[0] == 3
-    # whole-row lane block for unit-slope passes: covers the 640 tier too
-    # (VMEM at (128, 2048) f32 staging is ~1 MB — far under budget); the
-    # 128-fallback there cost 5x the grid steps
-    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 640) else 128
+    # Whole-row lane block for unit-slope passes, capped at OW <= 384: on
+    # real hardware the OW=640 whole-row configuration corrupted output
+    # outright (~80-unit errors vs the fallback at tier-640 scanner
+    # geometry) and OW=512 showed localized block corruption (mask-mass
+    # validity flips, ~3-unit value errors at 0.1% of voxels) — both
+    # BR-independent, bisected in round 5 by the production-tier on-chip
+    # A/B (tests_tpu/test_production_tiers.py). 384 whole-row is pinned
+    # exact by the same tests; 512/640 stay on 128-lane blocks until the
+    # Mosaic-side cause is isolated.
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 384) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0
@@ -1346,8 +1352,9 @@ def _hat_pass_pair_impl(
         if per_slice
         else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     )
-    # whole-row lane block incl. the 640 tier (see _hat_pass_impl)
-    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 640) else 128
+    # whole-row lane block for unit-slope passes (<= 384; see _hat_pass_impl
+    # on why 512/640 are excluded)
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 384) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0
