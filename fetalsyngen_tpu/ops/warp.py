@@ -137,6 +137,10 @@ BLOCK_ROWS = 64
 
 
 TAP_CHUNK = 8  # taps per predicated chunk (see span_dyn below)
+
+# Widest whole-row lane block known-good on hardware (see the cap comment
+# in _hat_pass_impl); module-level so diagnostics can probe other widths.
+WHOLE_ROW_MAX = 384
 # Finer chunk for the deform FIELD passes: after the L21 peel their adaptive
 # spans are the field swing alone (~6-15 taps), where half-empty 8-chunks
 # waste ~10% of the pass (measured 2.01 -> 1.82 ms/vol at 256^3 on v5e).
@@ -381,11 +385,25 @@ def _block_bounds(
         mn = jnp.maximum(mn, -(l0 + lane_block - 1.0) - EPS_BOUNDS)
         mx = jnp.minimum(mx, S - 1.0 + EPS_BOUNDS - l0)
     else:
-        # clamp per lane (tighter than per block), then reduce lane blocks
+        # Clamp per lane (tighter than per block), EXCLUDING lanes whose
+        # whole row-block saturates: their clamped interval is empty
+        # (lo > hi), their outputs come from the kernel's saturation select
+        # (taps are discarded), and keeping their clamped rel would stretch
+        # the block interval by up to the saturated-lane reach — enough to
+        # push VALID elements past maxspan on wide (whole-row) lane blocks
+        # where low-lane saturation and far-lane extremes share one block.
         lo = jnp.maximum(fmin, -lanes - EPS_BOUNDS)
         hi = jnp.minimum(fmax, S - 1.0 + EPS_BOUNDS - lanes)
+        empty = lo > hi
+        lo = jnp.where(empty, jnp.inf, lo)
+        hi = jnp.where(empty, -jnp.inf, hi)
         mn = jnp.min(lo.reshape(nrb, nh, lane_block), axis=2)
         mx = jnp.max(hi.reshape(nrb, nh, lane_block), axis=2)
+        # fully-saturated blocks: empty interval -> any in-window point (the
+        # kernel's saturation select produces every output)
+        all_empty = mn > mx
+        mn = jnp.where(all_empty, 0.0, mn)
+        mx = jnp.where(all_empty, 0.0, mx)
     mn = mn - EPS_BOUNDS
     mx = mx + EPS_BOUNDS
     # (n_row_blocks * n_lane_blocks, 1, 2): trailing block dims equal the
@@ -440,16 +458,18 @@ def _hat_pass_impl(
         else jnp.stack([jnp.asarray(c, jnp.float32) for c in coefs])
     )
     lane_affine = disp is not None and disp.ndim == 2 and disp.shape[0] == 3
-    # Whole-row lane block for unit-slope passes, capped at OW <= 384: on
-    # real hardware the OW=640 whole-row configuration corrupted output
-    # outright (~80-unit errors vs the fallback at tier-640 scanner
-    # geometry) and OW=512 showed localized block corruption (mask-mass
-    # validity flips, ~3-unit value errors at 0.1% of voxels) — both
-    # BR-independent, bisected in round 5 by the production-tier on-chip
-    # A/B (tests_tpu/test_production_tiers.py). 384 whole-row is pinned
-    # exact by the same tests; 512/640 stay on 128-lane blocks until the
-    # Mosaic-side cause is isolated.
-    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 384) else 128
+    # Whole-row lane block for unit-slope passes, capped at OW <= 384.
+    # Root cause of the >= 512 exclusion (isolated round 5, numpy-replayed
+    # bounds): a wide block spans BOTH near-saturation valid elements at
+    # low lanes (rel -> -lane, reach ~= the deviation magnitude) AND
+    # positive-extreme elements — a genuine valid-rel spread of ~2x the
+    # deviation range. At scanner-scale deviations (|dz| up to ~60) that
+    # crosses the maxspan=128 tap budget exactly between OW=384 and
+    # OW=512, so >= 512 whole-row silently span-clamped valid elements
+    # (caught by tests_tpu/test_production_tiers.py's Mosaic-vs-fallback
+    # pins). 128-lane blocks keep each block's spread local; 384
+    # whole-row is pinned exact by the same tests.
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= WHOLE_ROW_MAX) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0
@@ -1354,7 +1374,7 @@ def _hat_pass_pair_impl(
     )
     # whole-row lane block for unit-slope passes (<= 384; see _hat_pass_impl
     # on why 512/640 are excluded)
-    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= 384) else 128
+    lane_block = OW if (unit_slope and OW % 128 == 0 and OW <= WHOLE_ROW_MAX) else 128
 
     if not _use_pallas() or not _v1_ok(R, W, OW, H, maxspan) or (
         per_slice and H % BLOCK_ROWS != 0

@@ -276,3 +276,37 @@ def test_hat_pair_128_row_blocks_match_spec(monkeypatch):
     rb = _jnp_reference(vb.reshape(-1, x2), coefs, disp, SHAPE128, True)
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ra), atol=5e-5)
     np.testing.assert_allclose(np.asarray(ob), np.asarray(rb), atol=5e-5)
+
+
+def test_saturated_lane_exclusion_in_block_bounds():
+    """Fully-saturated lanes must not inflate a block's tap interval
+    (round-5 bounds fix): their outputs come from the kernel's saturation
+    select, so their clamped rel values are excluded from (mn, mx). A
+    whole-row block mixing valid low-spread lanes with a band of fully
+    saturated high lanes previously span-clamped the VALID elements."""
+    shape = (4, 64, 256)  # OW=256 -> whole-row unit-slope lane block
+    rng = np.random.default_rng(21)
+    v = jnp.asarray(rng.random(shape, np.float32))
+    A = np.zeros((3, 256), np.float32)
+    A[0] = rng.uniform(-0.01, 0.01, 256)
+    A[1] = rng.uniform(-0.01, 0.01, 256)
+    A[2, :200] = rng.uniform(-10, 10, 200)   # valid lanes, spread << maxspan
+    A[2, 200:] = -300.0                      # lanes 200.. fully saturate low
+    out = W.hat_pass(v, (0.0, 0.0, 1.0, 0.0), jnp.asarray(A), shape, 48,
+                     False, unit_slope=True)
+    ref = _jnp_reference(
+        v.reshape(-1, shape[2]), (0.0, 0.0, 1.0, 0.0), None, shape, False
+    )
+    # rebuild reference positions incl. the lane-affine part
+    R = shape[0] * shape[1]
+    rows = jnp.arange(R, dtype=jnp.float32)
+    ri = jnp.floor(rows / shape[1])
+    rj = rows - ri * shape[1]
+    lanes = jnp.arange(shape[2], dtype=jnp.float32)
+    pos = lanes[None, :] + (
+        jnp.asarray(A)[0][None, :] * ri[:, None]
+        + jnp.asarray(A)[1][None, :] * rj[:, None]
+        + jnp.asarray(A)[2][None, :]
+    )
+    ref = W._hat_pass_jnp(v.reshape(R, shape[2]), pos, False).reshape(shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
