@@ -854,14 +854,15 @@ def _recon_one(
     )
     if nsp != ns_grid:
         w_c = w_c[..., :ns_grid]
-    # coarse n->z placement + z PSF: coarse z lanes sit at fine positions
-    # f z_c + (f-1)/2; the blur kernel narrows to sigma/f coarse units
-    zc_f = f * jnp.arange(cc, dtype=jnp.float32) + h
+    # fine-frame positions of the coarse lanes (identical for every axis
+    # of the cube); used for the n->z placement (z axis) and the inverse
+    # scale (in-plane axes). The blur kernels narrow to sigma/f.
+    lane_f = f * jnp.arange(cc, dtype=jnp.float32) + h
     sigz_c = toeplitz_blur_matrix(sig_rec[0] / f, cc, _BLUR_HALF)
     if use_split:
-        d_c = (zc_f[:, None] - centers[None, :]) / gap_vox
+        d_c = (lane_f[:, None] - centers[None, :]) / gap_vox
         Mp_c = jnp.maximum(0.0, 1.0 - jnp.abs(d_c))
-        qz_c = (zc_f - z0) / gap_vox
+        qz_c = (lane_f - z0) / gap_vox
         colsn_c = jax.lax.broadcasted_iota(jnp.int32, (cc, ns_grid), 1)
         Mp_c = jnp.where(
             (qz_c < 0)[:, None],
@@ -875,13 +876,13 @@ def _recon_one(
         Mn2z_c = jnp.matmul(sigz_c, Mp_c, precision=_prec())
     else:
         Mn2z_c = jnp.matmul(
-            sigz_c, interp_matrix((zc_f - z0) / gap_vox, ns_grid),
+            sigz_c, interp_matrix((lane_f - z0) / gap_vox, ns_grid),
             precision=_prec(),
         )
     w_c = einsum_store("oi,jki->okj", Mn2z_c, w_c)  # (z_c, v_c, u_c)
     # coarse inverse-scale + in-plane PSF: coarse out lane -> fine position
     # -> fine source -> coarse source
-    src_c = ((zc_f - c_ss) / rs + c_ss - h) / f
+    src_c = ((lane_f - c_ss) / rs + c_ss - h) / f
     m_c = jnp.matmul(
         interp_matrix(src_c, cc),
         toeplitz_blur_matrix(sig_rec[1] / f, cc, _BLUR_HALF),
