@@ -1,6 +1,10 @@
 """Throughput benchmark: randomized 256^3 image+label volumes per second per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the throughput JSON line immediately after the timed chain (crash
+insurance — a latency-probe failure must not zero the perf record, which is
+how round 4 lost its number), then the final merged line
+{"metric", "value", "unit", "vs_baseline", "latency_p50_s", ...} — the
+driver parses the LAST JSON line of the output.
 
 Baseline: the reference reports 0.56-0.62 s per volume on an (unspecified)
 CUDA GPU (`/root/reference/docs/datasets.md:76,131`), i.e. ~1.78 vol/s/GPU
