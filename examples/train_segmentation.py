@@ -69,8 +69,12 @@ def main():
         state, loss = step(state, keys, seeds, segs)
         losses.append(float(loss))
         print(f"step {i}: loss {losses[-1]:.4f}  ({time.time() - t0:.1f}s)")
-    assert losses[-1] < losses[0], "loss should decrease on the synthetic stream"
-    print("OK: loss decreased", losses[0], "->", losses[-1])
+    # per-step losses are noisy (every step sees a fresh random sample), so
+    # compare smoothed ends rather than single steps
+    k = max(1, len(losses) // 3)
+    head, tail = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
+    assert tail < head, f"loss should trend down on the synthetic stream ({head:.4f} -> {tail:.4f})"
+    print(f"OK: loss trended down {head:.4f} -> {tail:.4f}")
 
 
 if __name__ == "__main__":
